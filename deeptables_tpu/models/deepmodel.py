@@ -1,0 +1,739 @@
+# -*- coding:utf-8 -*-
+"""Model assembly + training loop.
+
+Capability parity with the reference's ``DeepModel``
+(``deeptables/models/deepmodel.py:26-226``): build a model from config-driven
+net composition, fit with early stopping/callbacks, predict/evaluate/apply,
+save/load/release.  Architecture is TPU-native:
+
+- the model is a pure flax module (``DeepTabularModel``) returning logits and
+  named intermediate "taps" (the JAX analog of fetching Keras layer outputs,
+  reference deepmodel.py:245-257);
+- the **train step** is a single jitted function (forward + loss + backward +
+  optimizer update, donated buffers); the epoch loop stays in Python so
+  callbacks/early-stopping work exactly like Keras';
+- batches are sharded over the mesh ``data`` axis via
+  ``parallel.mesh.DistributionStrategy`` — the single-chip and pod-slice
+  paths are the same code.
+"""
+
+import collections
+import math
+import pickle
+import time
+from typing import Any, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+from flax import serialization
+from flax.core import freeze, unfreeze
+
+from . import deepnets
+from .callbacks import Callback, EarlyStopping, History
+from .metainfo import CategoricalColumn, VarLenCategoricalColumn
+from ..data import pipeline
+from ..ops import losses as losses_lib
+from ..ops import metrics as metrics_lib
+from ..ops.embedding import (EmbeddingList, MultiColumnEmbedding,
+                             VarLenColumnEmbedding, concat_embeddings,
+                             flatten_embeddings)
+from ..parallel.mesh import get_strategy
+from ..utils import consts, dt_logging
+
+logger = dt_logging.get_logger(__name__)
+
+
+class DeepTabularModel(nn.Module):
+    """The config-driven composed network (flax module).
+
+    Mirrors the reference's ``__build_model`` graph (deepmodel.py:259-317):
+    inputs → fused embeddings → flatten/concat(+BN) → per-net outputs →
+    logit stacking → task head.  Returns ``(logits, taps)`` where ``taps``
+    holds named intermediate activations for ``apply``/``probe_evaluate``.
+    """
+
+    config: Any
+    task: str
+    num_classes: int
+    categorical_columns: Tuple
+    continuous_columns: Tuple
+    var_len_categorical_columns: Any = None
+
+    @nn.compact
+    def __call__(self, batch, training: bool = False):
+        config = self.config
+        ctx = deepnets.begin_trace(training)
+        model_desc = ModelDesc()
+        ctx.model_desc = model_desc
+        compute_dtype = jnp.bfloat16 \
+            if config.dtype_policy == 'bfloat16' else jnp.float32
+
+        # ---- embeddings (reference deepmodel.py:388-420) ----
+        embeddings = EmbeddingList()
+        cat_cols = self.categorical_columns or ()
+        if len(cat_cols) > 0:
+            input_dims = tuple(int(c.vocabulary_size) for c in cat_cols)
+            output_dims = tuple(int(c.embeddings_output_dim) for c in cat_cols)
+            embeddings = MultiColumnEmbedding(
+                input_dims=input_dims, output_dims=output_dims,
+                dropout_rate=config.embedding_dropout,
+                embeddings_initializer=config.embeddings_initializer,
+                name=consts.LAYER_PREFIX_EMBEDDING + 'categorical_vars_all',
+            )(batch[pipeline.CAT_KEY], training=training)
+            model_desc.set_embeddings(list(input_dims), list(output_dims),
+                                      config.embedding_dropout)
+
+        var_cols = self.var_len_categorical_columns or ()
+        var_embs = []
+        for col in var_cols:
+            emb = VarLenColumnEmbedding(
+                vocabulary_size=int(col.vocabulary_size),
+                output_dim=int(col.embeddings_output_dim),
+                dropout_rate=config.embedding_dropout,
+                pooling_strategy=col.pooling_strategy,
+                embeddings_initializer=config.embeddings_initializer,
+                name=consts.LAYER_PREFIX_EMBEDDING + col.name,
+            )(batch[col.name], training=training)
+            var_embs.append(emb)
+            model_desc.add_input(col.name, col.max_elements_length)
+
+        if var_embs:
+            items = list(embeddings) + var_embs
+            stacked = embeddings.stacked
+            if stacked is not None and all(
+                    e.shape[-1] == stacked.shape[-1] for e in var_embs):
+                stacked = jnp.concatenate([stacked] + var_embs, axis=1)
+            else:
+                widths = {e.shape[-1] for e in items}
+                stacked = jnp.concatenate(items, axis=1) \
+                    if len(widths) == 1 else None
+            embeddings = EmbeddingList(items, stacked=stacked)
+
+        if compute_dtype != jnp.float32 and len(embeddings) > 0:
+            embeddings = EmbeddingList(
+                [e.astype(compute_dtype) for e in embeddings],
+                stacked=None if embeddings.stacked is None
+                else embeddings.stacked.astype(compute_dtype))
+
+        # ---- dense (continuous) inputs (reference deepmodel.py:422-434) ----
+        dense_layer = None
+        cont_cols = self.continuous_columns or ()
+        if len(cont_cols) > 0:
+            groups = [batch[g.name].astype(compute_dtype) for g in cont_cols]
+            dense_layer = groups[0] if len(groups) == 1 \
+                else jnp.concatenate(groups, axis=-1)
+            for g in cont_cols:
+                model_desc.add_input(g.name, g.input_dim)
+            if config.dense_dropout > 0:
+                dense_layer = nn.Dropout(
+                    config.dense_dropout, name='dropout_dense_input')(
+                    dense_layer, deterministic=not training)
+        model_desc.set_dense(config.dense_dropout, False)
+
+        # ---- flatten/concat + BN (reference deepmodel.py:269-278,348-361) --
+        flatten_emb_layer = flatten_embeddings(embeddings)
+        if flatten_emb_layer is not None:
+            ctx.tap('flatten_embeddings', flatten_emb_layer)
+
+        if flatten_emb_layer is not None and dense_layer is not None:
+            concat_emb_dense = jnp.concatenate(
+                [flatten_emb_layer, dense_layer], axis=-1)
+        elif flatten_emb_layer is not None:
+            concat_emb_dense = flatten_emb_layer
+        elif dense_layer is not None:
+            concat_emb_dense = dense_layer
+        else:
+            raise ValueError('No input layer exists.')
+        concat_emb_dense = nn.BatchNorm(
+            use_running_average=not training, momentum=0.9, epsilon=1e-3,
+            name='bn_concat_emb_dense')(concat_emb_dense)
+        ctx.tap('concat_embedding_dense', concat_emb_dense)
+        model_desc.set_concat_embed_dense(tuple(concat_emb_dense.shape))
+
+        # ---- nets (reference deepmodel.py:280-309) ----
+        model_desc.nets = list(config.nets)
+        model_desc.stacking = config.stacking_op
+        outs = collections.OrderedDict()
+        for net in config.nets:
+            fn = deepnets.get(net)
+            out = fn(embeddings, flatten_emb_layer, dense_layer,
+                     concat_emb_dense, config, model_desc)
+            if out is not None:
+                outs[net if isinstance(net, str) else fn.__name__] = out
+                ctx.tap(f'{net if isinstance(net, str) else fn.__name__}_out',
+                        out)
+
+        if len(outs) > 1:
+            logits_list = []
+            for name, out in outs.items():
+                if out.ndim > 2:
+                    out = out.reshape(out.shape[0], -1)
+                if out.shape[-1] > 1:
+                    logit = nn.Dense(1, use_bias=False,
+                                     name=f'dense_logit_{name}')(out)
+                else:
+                    logit = out
+                logits_list.append(logit)
+            if config.stacking_op == consts.STACKING_OP_ADD:
+                x = sum(logits_list)
+            elif config.stacking_op == consts.STACKING_OP_CONCAT:
+                x = jnp.concatenate(logits_list, axis=-1)
+            else:
+                raise ValueError(
+                    f'Unsupported stacking_op:{config.stacking_op}.')
+        elif len(outs) == 1:
+            name, out = outs.popitem()
+            if out.ndim > 2:
+                out = out.reshape(out.shape[0], -1)
+            x = out
+        else:
+            raise ValueError(f'Unexpected logit output.{outs}')
+
+        # ---- task head (reference deepmodel.py:436-457); logits out ----
+        if self.task == consts.TASK_BINARY:
+            output_dim = 1
+        elif self.task == consts.TASK_REGRESSION:
+            output_dim = 1
+        elif self.task in (consts.TASK_MULTICLASS, consts.TASK_MULTILABEL):
+            if not self.num_classes:
+                raise ValueError(
+                    '"num_classes" value must be provided for multi-class task.')
+            output_dim = self.num_classes
+        else:
+            raise ValueError(f'Unknown task type:{self.task}')
+        x = x.astype(jnp.float32)
+        logits = nn.Dense(output_dim, use_bias=config.output_use_bias,
+                          name='task_output')(x)
+        model_desc.set_output(self.task, tuple(logits.shape),
+                              config.output_use_bias)
+        ctx.tap('task_output', logits)
+        return logits, dict(ctx.taps)
+
+
+def probas_from_logits(logits, task):
+    if task == consts.TASK_REGRESSION:
+        return logits
+    if task == consts.TASK_MULTICLASS:
+        return jax.nn.softmax(logits, axis=-1)
+    return jax.nn.sigmoid(logits)  # binary & multilabel
+
+
+def _resolve_optimizer(optimizer, learning_rate):
+    if optimizer == 'auto':
+        return optax.adam(learning_rate)
+    if isinstance(optimizer, str):
+        name = optimizer.lower()
+        table = {
+            'adam': optax.adam,
+            'adamw': optax.adamw,
+            'sgd': optax.sgd,
+            'rmsprop': optax.rmsprop,
+            'adagrad': optax.adagrad,
+            'lamb': optax.lamb,
+        }
+        if name not in table:
+            raise ValueError(f'Unknown optimizer: {optimizer!r}')
+        return table[name](learning_rate)
+    if isinstance(optimizer, optax.GradientTransformation):
+        return optimizer
+    raise ValueError(f'Cannot interpret optimizer: {optimizer!r}')
+
+
+class DeepModel:
+    """Class for neural network models (reference deepmodel.py:26)."""
+
+    def __init__(self, task, num_classes, config, categorical_columns,
+                 continuous_columns, model_file=None,
+                 var_categorical_len_columns=None, custom_objects=None):
+        self.task = task
+        self.num_classes = num_classes
+        self.config = config
+        self.categorical_columns = tuple(categorical_columns or ())
+        self.continuous_columns = tuple(continuous_columns or ())
+        self.var_len_categorical_columns = \
+            tuple(var_categorical_len_columns or ())
+        self.model_file = model_file
+        self.model_desc = ModelDesc()
+        self.stop_training = False
+
+        self.module: Optional[DeepTabularModel] = None
+        self.variables = None  # {'params': ..., 'batch_stats': ...}
+        self.opt_state = None
+        self._tx = None
+        self._strategy = None
+        self._jit_cache = {}
+
+        if model_file is not None:
+            self._load_weights(model_file)
+
+    # ------------------------------------------------------------------
+    # building
+    # ------------------------------------------------------------------
+    def _build_module(self):
+        if self.module is None:
+            self.module = DeepTabularModel(
+                config=self.config, task=self.task,
+                num_classes=self.num_classes,
+                categorical_columns=self.categorical_columns,
+                continuous_columns=self.continuous_columns,
+                var_len_categorical_columns=self.var_len_categorical_columns)
+        return self.module
+
+    @property
+    def strategy(self):
+        if self._strategy is None:
+            self._strategy = get_strategy(self.config.distribute_strategy)
+        return self._strategy
+
+    def _dummy_batch(self, batch_size=2):
+        batch = {}
+        if self.categorical_columns:
+            batch[pipeline.CAT_KEY] = np.zeros(
+                (batch_size, len(self.categorical_columns)), np.int32)
+        for g in self.continuous_columns:
+            batch[g.name] = np.zeros((batch_size, g.input_dim), np.float32)
+        for c in self.var_len_categorical_columns:
+            batch[c.name] = np.zeros(
+                (batch_size, c.max_elements_length or 1), np.int32)
+        return batch
+
+    def build(self, sample_batch=None):
+        """Initialize params (idempotent)."""
+        module = self._build_module()
+        if self.variables is None:
+            if sample_batch is None:
+                sample_batch = self._dummy_batch()
+            rng = jax.random.PRNGKey(self.config.seed)
+            variables = module.init(
+                {'params': rng, 'dropout': jax.random.fold_in(rng, 1)},
+                sample_batch, training=True)
+            self.variables = unfreeze(variables)
+            self.variables.setdefault('batch_stats', {})
+            self.model_desc = deepnets.current_ctx().model_desc
+            if logger.is_info_enabled():
+                logger.info(str(self.model_desc))
+        return self.variables
+
+    def _loss_fn(self):
+        loss = self.config.loss
+        if loss == 'auto':
+            loss = losses_lib.auto_loss_name(self.task, self.num_classes)
+            self.model_desc.loss = loss
+        return losses_lib.get_loss(loss)
+
+    # ------------------------------------------------------------------
+    # snapshot protocol used by EarlyStopping
+    # ------------------------------------------------------------------
+    def get_state_snapshot(self):
+        return self.variables
+
+    def set_state_snapshot(self, snapshot):
+        self.variables = snapshot
+
+    # ------------------------------------------------------------------
+    # jitted steps
+    # ------------------------------------------------------------------
+    def _make_train_step(self):
+        module = self._build_module()
+        loss_fn = self._loss_fn()
+        tx = self._tx
+
+        def train_step(params, batch_stats, opt_state, batch, y, w, rng):
+            def compute_loss(p):
+                (logits, _taps), mutated = module.apply(
+                    {'params': p, 'batch_stats': batch_stats}, batch,
+                    training=True, rngs={'dropout': rng},
+                    mutable=['batch_stats'])
+                loss = loss_fn(logits, y, w)
+                return loss, (logits, mutated.get('batch_stats', {}))
+
+            (loss, (logits, new_bs)), grads = jax.value_and_grad(
+                compute_loss, has_aux=True)(params)
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_bs, new_opt_state, loss, logits
+
+        return jax.jit(train_step, donate_argnums=(0, 1, 2))
+
+    def _make_eval_step(self):
+        module = self._build_module()
+
+        def eval_step(variables, batch):
+            logits, taps = module.apply(variables, batch, training=False)
+            return logits, taps
+
+        return jax.jit(eval_step)
+
+    def _get_jitted(self, name, maker):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = maker()
+        return self._jit_cache[name]
+
+    # ------------------------------------------------------------------
+    # fit
+    # ------------------------------------------------------------------
+    def fit(self, X=None, y=None, batch_size=128, epochs=1, verbose=1,
+            callbacks=None, validation_split=0.2, validation_data=None,
+            shuffle=True, class_weight=None, sample_weight=None,
+            initial_epoch=0, steps_per_epoch=None, validation_steps=None,
+            validation_freq=1, max_queue_size=10, workers=1,
+            use_multiprocessing=False):
+        if batch_size is None:
+            batch_size = 128
+        if validation_data is None:
+            from sklearn.model_selection import train_test_split
+            stratify = None
+            if self.task in (consts.TASK_BINARY, consts.TASK_MULTICLASS):
+                try:
+                    _, counts = np.unique(np.asarray(y), return_counts=True)
+                    if counts.min() >= 2:
+                        stratify = np.asarray(y)
+                except Exception:
+                    stratify = None
+            X, X_val, y, y_val = train_test_split(
+                X, y, test_size=validation_split, random_state=self.config.seed,
+                stratify=stratify)
+        else:
+            if len(validation_data) != 2:
+                raise ValueError(
+                    f'Unexpected validation_data length, expected 2 but '
+                    f'{len(validation_data)}.')
+            X_val, y_val = validation_data[0], validation_data[1]
+
+        arrays = pipeline.extract_arrays(
+            X, self.categorical_columns, self.continuous_columns,
+            self.var_len_categorical_columns)
+        y_arr = pipeline.prepare_labels(y, self.task, self.num_classes)
+        val_arrays = pipeline.extract_arrays(
+            X_val, self.categorical_columns, self.continuous_columns,
+            self.var_len_categorical_columns)
+        y_val_arr = pipeline.prepare_labels(y_val, self.task, self.num_classes)
+
+        weights = None
+        if sample_weight is not None:
+            weights = np.asarray(sample_weight, np.float32)
+        elif class_weight:
+            weights = pipeline.class_weight_to_sample_weight(y_arr,
+                                                             class_weight)
+
+        # data-parallel batch divisibility
+        shards = self.strategy.num_data_shards
+        if batch_size % shards != 0:
+            batch_size = max(shards, (batch_size // shards) * shards)
+            logger.warning(f'batch_size adjusted to {batch_size} to divide '
+                           f'{shards} data shards.')
+
+        self.build(sample_batch={k: v[:min(len(y_arr), 2)]
+                                 for k, v in arrays.items()})
+        self._tx = _resolve_optimizer(self.config.optimizer,
+                                      self.config.learning_rate)
+        if self.opt_state is None:
+            self.opt_state = self._tx.init(self.variables['params'])
+
+        train_step = self._get_jitted('train', self._make_train_step)
+        eval_step = self._get_jitted('eval', self._make_eval_step)
+
+        history = History()
+        history.set_model(self)
+        cbs: List[Callback] = [history]
+        for cb in (callbacks or []):
+            cb.set_model(self)
+            cbs.append(cb)
+        self.stop_training = False
+        for cb in cbs:
+            cb.on_train_begin()
+
+        metric_specs = [metrics_lib.get_metric(m) for m in self.config.metrics]
+        loss_fn = self._loss_fn()
+        rng = jax.random.PRNGKey(self.config.seed + 13)
+
+        it = pipeline.BatchIterator(
+            arrays, y_arr, weights, batch_size=batch_size, shuffle=shuffle,
+            drop_remainder=True, seed=self.config.seed)
+        steps = steps_per_epoch or it.steps
+
+        logger.info('training...')
+        t_start = time.time()
+        for epoch in range(initial_epoch, epochs):
+            for cb in cbs:
+                cb.on_epoch_begin(epoch)
+            epoch_losses = []
+            train_probas, train_ys = [], []
+            step_count = 0
+            for batch, yb, wb, valid in it:
+                rng, step_rng = jax.random.split(rng)
+                params, bs, opt_state, loss, logits = train_step(
+                    self.variables['params'],
+                    self.variables.get('batch_stats', {}),
+                    self.opt_state, batch, yb,
+                    wb if wb is not None else None, step_rng)
+                self.variables = {'params': params, 'batch_stats': bs}
+                self.opt_state = opt_state
+                epoch_losses.append(loss)
+                if len(train_ys) * batch_size < 200_000:
+                    # keep device arrays; defer host transfer to epoch end so
+                    # the dispatch queue stays async (no per-step sync)
+                    train_probas.append(probas_from_logits(logits, self.task))
+                    train_ys.append(yb)
+                step_count += 1
+                if step_count >= steps:
+                    break
+
+            logs = {'loss': float(np.mean(jax.device_get(epoch_losses)))}
+            if train_probas:
+                tp = np.concatenate([np.asarray(p) for p in train_probas])
+                ty = np.concatenate(train_ys)
+                for name, fn in metric_specs:
+                    try:
+                        logs[name] = float(fn(ty, tp))
+                    except Exception as e:  # pragma: no cover
+                        logger.warning(f'metric {name} failed: {e}')
+
+            # validation
+            if (epoch + 1) % validation_freq == 0:
+                val_logits = self._predict_logits(val_arrays, len(y_val_arr),
+                                                  batch_size, eval_step)
+                val_probas = np.asarray(probas_from_logits(
+                    jnp.asarray(val_logits), self.task))
+                logs['val_loss'] = float(loss_fn(jnp.asarray(val_logits),
+                                                 jnp.asarray(y_val_arr)))
+                for name, fn in metric_specs:
+                    try:
+                        logs[f'val_{name}'] = float(fn(y_val_arr, val_probas))
+                    except Exception as e:  # pragma: no cover
+                        logger.warning(f'val metric {name} failed: {e}')
+
+            if verbose:
+                msg = ' - '.join(f'{k}: {v:.4f}' for k, v in logs.items())
+                logger.info(f'Epoch {epoch + 1}/{epochs} - {msg}')
+            for cb in cbs:
+                cb.on_epoch_end(epoch, logs)
+            if self.stop_training:
+                break
+
+        for cb in cbs:
+            cb.on_train_end()
+        logger.info(f'Training finished in {time.time() - t_start:.2f}s.')
+        history.history = IgnoreCaseDict(history.history)
+        return history
+
+    # ------------------------------------------------------------------
+    # inference
+    # ------------------------------------------------------------------
+    def _predict_logits(self, arrays, n, batch_size, eval_step=None,
+                        want_taps=None):
+        if eval_step is None:
+            eval_step = self._get_jitted('eval', self._make_eval_step)
+        it = pipeline.BatchIterator(arrays, None, None, batch_size=batch_size,
+                                    shuffle=False, drop_remainder=False)
+        chunks = []
+        tap_chunks = {k: [] for k in (want_taps or [])}
+        for batch, _, _, valid in it:
+            logits, taps = eval_step(self.variables, batch)
+            chunks.append(np.asarray(logits[:valid]))
+            for k in tap_chunks:
+                if k not in taps:
+                    raise ValueError(f'No layer found in the model:{k}')
+                tap_chunks[k].append(np.asarray(taps[k][:valid]))
+        logits = np.concatenate(chunks)[:n]
+        if want_taps is not None:
+            return logits, {k: np.concatenate(v)[:n]
+                            for k, v in tap_chunks.items()}
+        return logits
+
+    def predict(self, X, batch_size=128, verbose=0):
+        logger.info('Performing predictions...')
+        arrays = pipeline.extract_arrays(
+            X, self.categorical_columns, self.continuous_columns,
+            self.var_len_categorical_columns)
+        n = len(X)
+        logits = self._predict_logits(arrays, n, batch_size)
+        return np.asarray(probas_from_logits(jnp.asarray(logits), self.task))
+
+    def apply(self, X, output_layers=[], concat_outputs=False, batch_size=128,
+              verbose=0, transformer=None):
+        """Fetch named intermediate activations (reference deepmodel.py:143)."""
+        if len(output_layers) <= 0:
+            raise ValueError('"output_layers" at least 1 element.')
+        arrays = pipeline.extract_arrays(
+            X, self.categorical_columns, self.continuous_columns,
+            self.var_len_categorical_columns)
+        _, taps = self._predict_logits(arrays, len(X), batch_size,
+                                       want_taps=list(output_layers))
+        outputs = [taps[k] for k in output_layers]
+        outputs = [o.reshape(o.shape[0], -1) if o.ndim > 2 else o
+                   for o in outputs]
+        if len(outputs) > 1 and concat_outputs:
+            outputs = np.concatenate(outputs, axis=-1)
+        elif len(outputs) == 1:
+            outputs = outputs[0]
+
+        if transformer is None:
+            return outputs
+        if isinstance(outputs, list):
+            return [transformer.fit_transform(o) for o in outputs]
+        return transformer.fit_transform(outputs)
+
+    def evaluate(self, X_test, y_test, batch_size=256, verbose=0,
+                 return_dict=True):
+        logger.info('Performing evaluation...')
+        proba = self.predict(X_test, batch_size=batch_size)
+        y_arr = pipeline.prepare_labels(y_test, self.task, self.num_classes)
+        loss_fn = self._loss_fn()
+        arrays = pipeline.extract_arrays(
+            X_test, self.categorical_columns, self.continuous_columns,
+            self.var_len_categorical_columns)
+        logits = self._predict_logits(arrays, len(y_arr), batch_size)
+        result = {'loss': float(loss_fn(jnp.asarray(logits),
+                                        jnp.asarray(y_arr)))}
+        result.update(metrics_lib.compute_metrics(
+            self.config.metrics, y_arr, proba, self.task))
+        if return_dict:
+            return IgnoreCaseDict(inputs=result)
+        return [result['loss']] + [v for k, v in result.items() if k != 'loss']
+
+    # ------------------------------------------------------------------
+    # persistence
+    # ------------------------------------------------------------------
+    def save(self, filepath):
+        self.build()
+        payload = {
+            'meta': {
+                'task': self.task,
+                'num_classes': self.num_classes,
+                'config': self.config._replace(distribute_strategy=None),
+                'categorical_columns': self.categorical_columns,
+                'continuous_columns': self.continuous_columns,
+                'var_len_categorical_columns':
+                    self.var_len_categorical_columns,
+            },
+            'variables': serialization.to_bytes(freeze(self.variables)),
+        }
+        with open(filepath, 'wb') as f:
+            pickle.dump(payload, f, protocol=4)
+
+    def _load_weights(self, filepath):
+        with open(filepath, 'rb') as f:
+            payload = pickle.load(f)
+        meta = payload['meta']
+        self.task = meta['task']
+        self.num_classes = meta['num_classes']
+        self.categorical_columns = meta['categorical_columns']
+        self.continuous_columns = meta['continuous_columns']
+        self.var_len_categorical_columns = \
+            meta['var_len_categorical_columns']
+        self.module = None
+        self._build_module()
+        template = self.build()
+        self.variables = unfreeze(serialization.from_bytes(
+            freeze(template), payload['variables']))
+
+    @staticmethod
+    def load(filepath, config=None):
+        with open(filepath, 'rb') as f:
+            payload = pickle.load(f)
+        meta = payload['meta']
+        dm = DeepModel(meta['task'], meta['num_classes'],
+                       config or meta['config'],
+                       meta['categorical_columns'],
+                       meta['continuous_columns'],
+                       var_categorical_len_columns=meta[
+                           'var_len_categorical_columns'])
+        template = dm.build()
+        dm.variables = unfreeze(serialization.from_bytes(
+            freeze(template), payload['variables']))
+        return dm
+
+    def release(self):
+        """Free device memory (parity: reference deepmodel.py:223-226)."""
+        self.variables = None
+        self.opt_state = None
+        self._jit_cache.clear()
+        self.module = None
+
+
+class ModelDesc:
+    """Human-readable model description (reference deepmodel.py:460-532)."""
+
+    def __init__(self):
+        self.inputs = []
+        self.embeddings = None
+        self.dense = None
+        self.concat_embed_dense = None
+        self.nets = []
+        self.nets_info = []
+        self.stacking = None
+        self.output = None
+        self.loss = None
+        self.optimizer = None
+
+    def add_input(self, name, num_columns):
+        self.inputs.append(f'{name}: ({num_columns})')
+
+    def set_embeddings(self, input_dims, output_dims, embedding_dropout):
+        self.embeddings = (f'input_dims: {input_dims}\n'
+                           f'output_dims: {output_dims}\n'
+                           f'dropout: {embedding_dropout}')
+
+    def set_dense(self, dense_dropout, use_batchnormalization):
+        self.dense = (f'dropout: {dense_dropout}\n'
+                      f'batch_normalization: {use_batchnormalization}')
+
+    def set_concat_embed_dense(self, output_shape):
+        self.concat_embed_dense = f'shape: {output_shape}'
+
+    def add_net(self, name, input_shape, output_shape):
+        self.nets_info.append(
+            f'{name}: input_shape {input_shape}, output_shape {output_shape}')
+
+    def set_output(self, activation, output_shape, use_bias):
+        self.output = (f'activation: {activation}, output_shape: '
+                       f'{output_shape}, use_bias: {use_bias}')
+
+    def nets_desc(self):
+        return '\n'.join(self.nets_info)
+
+    def __str__(self):
+        return (f'>>>>>>>>>>>>>>>>>>>>>> Model Desc <<<<<<<<<<<<<<<<<<<<<<<\n'
+                f'inputs: {self.inputs}\n'
+                f'embeddings:\n{self.embeddings}\n'
+                f'dense: {self.dense}\n'
+                f'concat_embed_dense: {self.concat_embed_dense}\n'
+                f'nets: {self.nets}\n'
+                f'{self.nets_desc()}\n'
+                f'stacking_op: {self.stacking}\n'
+                f'output: {self.output}\n'
+                f'loss: {self.loss}\n'
+                f'optimizer: {self.optimizer}\n')
+
+
+class IgnoreCaseDict(collections.UserDict):
+    """Case-insensitive str-keyed dict (reference deepmodel.py:535-563)."""
+
+    def __init__(self, inputs: Union[dict, collections.UserDict] = None):
+        if isinstance(inputs, collections.UserDict):
+            super().__init__(inputs.data)
+        else:
+            super().__init__(inputs)
+        for k in list(self.data):
+            if not isinstance(k, str):
+                raise KeyError(f'Key should be str but is {k}')
+        self.data.update({k.lower(): self.data[k] for k in list(self.data)})
+
+    def __contains__(self, item):
+        if not isinstance(item, str):
+            raise KeyError(f'Key should be str but is {item}')
+        return item.lower() in self.data
+
+    def __setitem__(self, item, value):
+        if not isinstance(item, str):
+            raise KeyError(f'Key should be str but is {item}')
+        self.data[item.lower()] = value
+
+    def __getitem__(self, item):
+        if not isinstance(item, str):
+            raise KeyError(f'Key should be str but is {item}')
+        return self.data[item.lower()]

@@ -1,0 +1,191 @@
+# -*- coding:utf-8 -*-
+"""TPU-native multi-column embedding ops.
+
+The reference keeps **one weight table per categorical column** and performs a
+per-column ``embedding_lookup`` in a Python loop
+(``deeptables/models/layers.py:853-904``).  On TPU that materializes dozens of
+tiny gathers.  Here, columns are grouped by embedding width and each group
+shares ONE stacked table of shape ``(sum(vocab_sizes), dim)`` with per-column
+row offsets, so the whole group is fetched by a single XLA gather that
+pipelines HBM→VMEM traffic efficiently.  When every column has the same width
+(the default ``fixed_embedding_dim=True``) there is exactly one fused table
+and one gather per batch.
+
+``EmbeddingList`` mimics the reference's "list of per-column (B, 1, d)
+tensors" contract (so nets and custom user nets keep working), while exposing
+``.stacked`` — the pre-concatenated ``(B, F, D)`` tensor — so built-in nets
+skip the redundant concatenation.
+"""
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .initializers import get_initializer
+
+
+class EmbeddingList(list):
+    """A list of per-column (B, 1, d_i) embeddings with an optional fused view.
+
+    ``stacked`` is the (B, F, D) tensor when all widths agree, else None.
+    """
+
+    def __init__(self, items=(), stacked=None):
+        super().__init__(items)
+        self.stacked = stacked
+
+
+def concat_embeddings(embeddings) -> Optional[jnp.ndarray]:
+    """(B, F, D) from a (possibly fused) embedding list; None when empty.
+
+    Parity: ``deepnets._concat_embeddings`` (reference deepnets.py:30-40) —
+    returns None when there are no embeddings so nets can skip themselves.
+    """
+    if embeddings is None:
+        return None
+    if isinstance(embeddings, jnp.ndarray):
+        return embeddings
+    if getattr(embeddings, 'stacked', None) is not None:
+        return embeddings.stacked
+    if len(embeddings) == 0:
+        return None
+    if len(embeddings) == 1:
+        return embeddings[0]
+    return jnp.concatenate(list(embeddings), axis=1)
+
+
+def flatten_embeddings(embeddings) -> Optional[jnp.ndarray]:
+    """(B, sum(d_i)) flat view; works with heterogeneous widths.
+
+    Parity: reference deepmodel.py:269-274 (Flatten over Concatenate(axis=-1)).
+    """
+    if embeddings is None or len(embeddings) == 0:
+        return None
+    if getattr(embeddings, 'stacked', None) is not None:
+        st = embeddings.stacked
+        return st.reshape(st.shape[0], -1)
+    flat = [e.reshape(e.shape[0], -1) for e in embeddings]
+    return flat[0] if len(flat) == 1 else jnp.concatenate(flat, axis=1)
+
+
+def plan_groups(input_dims: Sequence[int], output_dims: Sequence[int]):
+    """Group column indices by embedding width.
+
+    Returns a list of ``(dim, col_indices, vocab_offsets, total_vocab)``.
+    Deterministic given the schema, computed once at trace time.
+    """
+    groups = {}
+    for idx, (voc, dim) in enumerate(zip(input_dims, output_dims)):
+        groups.setdefault(int(dim), []).append((idx, int(voc)))
+    plan = []
+    for dim in sorted(groups):
+        cols = groups[dim]
+        col_indices = [c for c, _ in cols]
+        vocabs = [v for _, v in cols]
+        offsets = np.concatenate([[0], np.cumsum(vocabs)[:-1]]).astype(np.int32)
+        plan.append((dim, col_indices, offsets, int(np.sum(vocabs))))
+    return plan
+
+
+class MultiColumnEmbedding(nn.Module):
+    """Fused per-column embedding over a single (B, n_cat) int tensor.
+
+    Capability parity with the reference's ``MultiColumnEmbedding``
+    (layers.py:815-904) — one logical table per column, SpatialDropout1D-style
+    embedding dropout — but implemented as width-grouped fused tables with one
+    gather per group.
+    """
+
+    input_dims: Tuple[int, ...]
+    output_dims: Tuple[int, ...]
+    dropout_rate: float = 0.
+    embeddings_initializer: str = 'uniform'
+    param_dtype: str = 'float32'
+
+    @nn.compact
+    def __call__(self, ids, training: bool = False):
+        if len(self.input_dims) != len(self.output_dims):
+            raise ValueError(
+                'The length of [input_dims] and [output_dims] must be the same.')
+        n_cols = len(self.input_dims)
+        if n_cols == 0 or ids.shape[1] == 0:
+            return EmbeddingList()
+        if ids.shape[1] != n_cols:
+            raise ValueError(
+                'The inputs dimension on axis 1 must be the same as the '
+                'length of [input_dims].')
+        ids = ids.astype(jnp.int32)
+        init = get_initializer(self.embeddings_initializer, default='uniform')
+
+        plan = plan_groups(self.input_dims, self.output_dims)
+        per_col = [None] * n_cols
+        uniform_width = len(plan) == 1
+        stacked = None
+        for dim, col_indices, offsets, total_vocab in plan:
+            table = self.param(f'embeddings_d{dim}', init,
+                               (total_vocab, dim), jnp.dtype(self.param_dtype))
+            group_ids = ids[:, jnp.asarray(col_indices)] + jnp.asarray(offsets)
+            emb = jnp.take(table, group_ids, axis=0)  # (B, n_group, dim)
+            if self.dropout_rate > 0:
+                # SpatialDropout1D semantics: drop whole embedding channels
+                # per (batch, channel), shared across fields.
+                emb = nn.Dropout(self.dropout_rate, broadcast_dims=(1,))(
+                    emb, deterministic=not training)
+            if uniform_width:
+                stacked = emb
+            for k, col in enumerate(col_indices):
+                per_col[col] = emb[:, k:k + 1, :]
+        return EmbeddingList(per_col, stacked=stacked)
+
+
+class VarLenColumnEmbedding(nn.Module):
+    """Embedding for a padded multi-valued categorical column.
+
+    Parity: reference ``VarLenColumnEmbedding`` (layers.py:925-966) which
+    reshapes (B, L, D) → (B, 1, L*D).  Here the pooling strategy from the
+    var-len column config tuple ``(name, sep, strategy)`` is honored:
+    'max'/'avg' perform masked pooling to (B, 1, D) (keeping field widths
+    uniform — the TPU-friendly choice), 'flat' reproduces the reference
+    reshape.  Token id 0 is the padding id.
+    """
+
+    vocabulary_size: int
+    output_dim: int
+    dropout_rate: float = 0.
+    pooling_strategy: str = 'max'
+    embeddings_initializer: str = 'uniform'
+    param_dtype: str = 'float32'
+
+    @nn.compact
+    def __call__(self, ids, training: bool = False):
+        ids = ids.astype(jnp.int32)  # (B, L)
+        init = get_initializer(self.embeddings_initializer, default='uniform')
+        table = self.param('embeddings', init,
+                           (self.vocabulary_size, self.output_dim),
+                           jnp.dtype(self.param_dtype))
+        emb = jnp.take(table, ids, axis=0)  # (B, L, D)
+        mask = (ids > 0).astype(emb.dtype)[..., None]  # (B, L, 1)
+
+        if self.pooling_strategy == 'avg':
+            denom = jnp.maximum(mask.sum(axis=1), 1.0)  # (B, 1)
+            out = (emb * mask).sum(axis=1) / denom  # (B, D)
+            out = out[:, None, :]
+        elif self.pooling_strategy == 'max':
+            neg = jnp.finfo(emb.dtype).min
+            masked = jnp.where(mask > 0, emb, neg)
+            out = masked.max(axis=1)  # (B, D)
+            # rows with no tokens → zeros
+            any_tok = (mask.sum(axis=1) > 0)
+            out = jnp.where(any_tok, out, 0.0)[:, None, :]
+        elif self.pooling_strategy == 'flat':
+            out = (emb * mask).reshape(emb.shape[0], 1, -1)  # (B, 1, L*D)
+        else:
+            raise ValueError(
+                f'Unknown var-len pooling strategy: {self.pooling_strategy!r}')
+
+        if self.dropout_rate > 0:
+            out = nn.Dropout(self.dropout_rate, broadcast_dims=(1,))(
+                out, deterministic=not training)
+        return out

@@ -1,0 +1,3 @@
+# -*- coding:utf-8 -*-
+from .mesh import (DATA_AXIS, MODEL_AXIS, DataAndModelParallel, DataParallel,
+                   DistributionStrategy, build_mesh, get_strategy)

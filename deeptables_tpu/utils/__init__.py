@@ -1,0 +1,4 @@
+# -*- coding:utf-8 -*-
+from . import consts
+from .dt_logging import get_logger
+from . import counter

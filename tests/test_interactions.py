@@ -1,0 +1,198 @@
+# -*- coding:utf-8 -*-
+"""Numeric tests: each interaction block vs a plain-numpy oracle that
+transcribes the reference layer math (deeptables/models/layers.py)."""
+
+import itertools
+
+import jax
+import numpy as np
+import pytest
+
+from deeptables_tpu.ops import interactions as L
+
+B, F, D = 8, 5, 4
+
+
+@pytest.fixture(scope='module')
+def x():
+    rng = np.random.default_rng(0)
+    return rng.normal(size=(B, F, D)).astype(np.float32)
+
+
+def init_and_apply(module, x, method=None):
+    rng = jax.random.PRNGKey(0)
+    variables = module.init({'params': rng, 'dropout': rng}, x, training=False)
+    out = module.apply(variables, x, training=False)
+    return variables, out
+
+
+class TestFM:
+    def test_oracle(self, x):
+        _, out = init_and_apply(L.FM(), x)
+        sq_sum = np.square(x.sum(axis=1))
+        sum_sq = (x * x).sum(axis=1)
+        expected = 0.5 * (sq_sum - sum_sq).sum(axis=1, keepdims=True)
+        np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5)
+        assert out.shape == (B, 1)
+
+
+class TestCross:
+    def test_oracle(self, x):
+        x2 = x.reshape(B, -1)
+        module = L.Cross(params={'num_cross_layer': 3})
+        variables, out = init_and_apply(module, x2)
+        params = variables['params']
+        # numpy oracle of x_{l+1} = x0 * (x_l @ w) + x_l + b
+        xl = x2.copy()
+        for i in range(3):
+            w = np.asarray(params[f'kernels_{i}']).reshape(-1)
+            b = np.asarray(params[f'bias_{i}']).reshape(-1)
+            xl = x2 * (xl @ w)[:, None] + xl + b
+        np.testing.assert_allclose(np.asarray(out), xl, rtol=1e-4)
+
+
+class TestInnerProduct:
+    def test_oracle(self, x):
+        _, out = init_and_apply(L.InnerProduct(), x)
+        pairs = list(itertools.combinations(range(F), 2))
+        expected = np.stack(
+            [(x[:, i, :] * x[:, j, :]).sum(-1) for i, j in pairs], axis=1)
+        np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5)
+        assert out.shape == (B, len(pairs))
+
+
+class TestOuterProduct:
+    @pytest.mark.parametrize('kernel_type', ['mat', 'vec', 'num'])
+    def test_oracle(self, x, kernel_type):
+        module = L.OuterProduct(
+            params={'outer_product_kernel_type': kernel_type})
+        variables, out = init_and_apply(module, x)
+        kernel = np.asarray(variables['params']['kernel'])
+        pairs = list(itertools.combinations(range(F), 2))
+        p = np.stack([x[:, i, :] for i, _ in pairs], axis=1)
+        q = np.stack([x[:, j, :] for _, j in pairs], axis=1)
+        if kernel_type == 'mat':
+            # reference layers.py:557-574: kp = Σ_e' [Σ_e p_e K_{e,p,e'}] q_e'
+            expected = np.einsum('bpe,epf,bpf->bp', p, kernel, q)
+            np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4)
+        else:
+            expected = (p * q * kernel[None]).sum(-1)
+            np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4)
+        assert out.shape == (B, len(pairs))
+
+
+class TestBilinear:
+    @pytest.mark.parametrize('btype',
+                             ['field_all', 'field_each', 'field_interaction'])
+    def test_oracle(self, x, btype):
+        module = L.BilinearInteraction(bilinear_type=btype)
+        variables, out = init_and_apply(module, x)
+        w = np.asarray(variables['params']['bilinear_weight'])
+        pairs = list(itertools.combinations(range(F), 2))
+        ps = []
+        for k, (i, j) in enumerate(pairs):
+            if btype == 'field_all':
+                wij = w
+            elif btype == 'field_each':
+                wij = w[i]
+            else:
+                wij = w[k]
+            ps.append((x[:, i, :] @ wij) * x[:, j, :])
+        expected = np.stack(ps, axis=1)
+        np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4)
+        assert out.shape == (B, len(pairs), D)
+
+
+class TestSENET:
+    def test_oracle(self, x):
+        module = L.SENET(pooling_op='mean', reduction_ratio=3)
+        variables, out = init_and_apply(module, x)
+        params = variables['params']
+        z = x.mean(-1)
+        relu = lambda a: np.maximum(a, 0)
+        a1 = relu(z @ np.asarray(params['dense_att1']['kernel'])
+                  + np.asarray(params['dense_att1']['bias']))
+        a2 = relu(a1 @ np.asarray(params['dense_att2']['kernel'])
+                  + np.asarray(params['dense_att2']['bias']))
+        expected = x * a2[:, :, None]
+        np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4)
+
+
+class TestCIN:
+    def test_oracle_direct(self, x):
+        """direct=True path: z_bld = Σ_{f,g} x0_bfd h_bgd W_lfg."""
+        module = L.CIN(params={'cross_layer_size': (6, 4), 'direct': True,
+                               'activation': 'relu', 'use_bias': False})
+        variables, out = init_and_apply(module, x)
+        params = variables['params']
+        relu = lambda a: np.maximum(a, 0)
+        hidden = x
+        finals = []
+        for i, ls in enumerate((6, 4)):
+            w = np.asarray(params[f'f_{i}'])  # (L, F0, Fk)
+            z = np.einsum('bfd,bgd,lfg->bld', x, hidden, w)
+            z = relu(z)
+            finals.append(z)
+            hidden = z
+        result = np.concatenate(finals, axis=1).sum(-1)
+        dk = np.asarray(params['exFM_out']['kernel'])
+        db = np.asarray(params['exFM_out']['bias'])
+        expected = result @ dk + db
+        np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-3,
+                                   atol=1e-5)
+        assert out.shape == (B, 1)
+
+    def test_split_half_shapes(self, x):
+        module = L.CIN(params={'cross_layer_size': (8, 4), 'direct': False})
+        _, out = init_and_apply(module, x)
+        assert out.shape == (B, 1)
+
+    def test_reduce_d(self, x):
+        module = L.CIN(params={'cross_layer_size': (8, 4), 'reduce_D': True})
+        _, out = init_and_apply(module, x)
+        assert out.shape == (B, 1)
+
+
+class TestAFM:
+    def test_shapes(self, x):
+        module = L.AFM(params={'attention_factor': 4, 'dropout_rate': 0})
+        _, out = init_and_apply(module, x)
+        assert out.shape == (B, 1)
+
+
+class TestMultiheadAttention:
+    def test_shapes(self, x):
+        module = L.MultiheadAttention(
+            params={'num_heads': 2, 'dropout_rate': 0, 'use_residual': True})
+        _, out = init_and_apply(module, x)
+        assert out.shape == (B, F, D)
+
+    def test_math_single_head_no_residual(self, x):
+        module = L.MultiheadAttention(
+            params={'num_heads': 1, 'dropout_rate': 0, 'use_residual': False})
+        variables, out = init_and_apply(module, x)
+        p = variables['params']
+        relu = lambda a: np.maximum(a, 0)
+        dense = lambda name, v: relu(
+            v @ np.asarray(p[name]['kernel']) + np.asarray(p[name]['bias']))
+        q, k, v = dense('dense_Q', x), dense('dense_K', x), dense('dense_V', x)
+        w = np.einsum('bfd,bgd->bfg', q, k) / np.sqrt(D)
+        w = np.exp(w - w.max(-1, keepdims=True))
+        w = w / w.sum(-1, keepdims=True)
+        o = relu(np.einsum('bfg,bgd->bfd', w, v))
+        # batch-norm in eval mode with fresh stats: (o - 0)/sqrt(1+eps)*γ+β
+        expected = o / np.sqrt(1 + 1e-3)
+        np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-3,
+                                   atol=1e-5)
+
+
+class TestFGCNN:
+    def test_shapes(self, x):
+        module = L.FGCNN(filters=3, kernel_height=3, new_filters=2,
+                         pool_height=2)
+        rng = jax.random.PRNGKey(0)
+        inp = x[..., None]
+        variables = module.init({'params': rng}, inp, training=False)
+        pooled, new = module.apply(variables, inp, training=False)
+        assert pooled.shape == (B, (F + 1) // 2, D, 3)
+        assert new.shape == (B, F * 2, D)
