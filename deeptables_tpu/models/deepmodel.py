@@ -40,7 +40,8 @@ from ..ops import metrics as metrics_lib
 from ..ops.embedding import (EmbeddingList, MultiColumnEmbedding,
                              VarLenColumnEmbedding, concat_embeddings,
                              flatten_embeddings)
-from ..parallel.mesh import get_strategy
+from ..parallel.mesh import DATA_AXIS, get_strategy
+from ..parallel.sharded_embedding import place_variables, variable_shardings
 from ..utils import consts, dt_logging
 
 logger = dt_logging.get_logger(__name__)
@@ -325,6 +326,40 @@ class DeepModel:
         return losses_lib.get_loss(loss)
 
     # ------------------------------------------------------------------
+    # mesh placement
+    # ------------------------------------------------------------------
+    @property
+    def _n_mesh_devices(self):
+        return int(np.prod(self.strategy.mesh.devices.shape))
+
+    def _place_on_mesh(self):
+        """Place params on the mesh: replicated dense towers, row-sharded
+        embedding tables over the model axis (when configured).  XLA's SPMD
+        partitioner then emits the collectives for the sharded gather and
+        the grad psum — no explicit communication code."""
+        if self._n_mesh_devices <= 1:
+            return
+        strat = self.strategy
+        shard_emb = self.config.embedding_device_strategy == 'sharded'
+        threshold = getattr(strat, 'shard_threshold', 0)
+        shardings = variable_shardings(self.variables, strat.mesh,
+                                       shard_embeddings=shard_emb,
+                                       shard_threshold_rows=threshold)
+        self.variables = place_variables(self.variables, shardings)
+
+    def _place_batch(self, batch, y=None, w=None):
+        if self._n_mesh_devices <= 1:
+            return batch, y, w
+        strat = self.strategy
+        bs = strat.batch_sharding
+        batch = {k: jax.device_put(v, bs) for k, v in batch.items()}
+        if y is not None:
+            y = jax.device_put(y, bs)
+        if w is not None:
+            w = jax.device_put(w, bs)
+        return batch, y, w
+
+    # ------------------------------------------------------------------
     # snapshot protocol used by EarlyStopping
     # ------------------------------------------------------------------
     def get_state_snapshot(self):
@@ -428,10 +463,13 @@ class DeepModel:
 
         self.build(sample_batch={k: v[:min(len(y_arr), 2)]
                                  for k, v in arrays.items()})
+        self._place_on_mesh()
         self._tx = _resolve_optimizer(self.config.optimizer,
                                       self.config.learning_rate)
         if self.opt_state is None:
-            self.opt_state = self._tx.init(self.variables['params'])
+            # jitted init propagates the params' shardings into the
+            # optimizer moments (sharded tables get sharded moments).
+            self.opt_state = jax.jit(self._tx.init)(self.variables['params'])
 
         train_step = self._get_jitted('train', self._make_train_step)
         eval_step = self._get_jitted('eval', self._make_eval_step)
@@ -465,6 +503,7 @@ class DeepModel:
             step_count = 0
             for batch, yb, wb, valid in it:
                 rng, step_rng = jax.random.split(rng)
+                batch, yb, wb = self._place_batch(batch, yb, wb)
                 params, bs, opt_state, loss, logits = train_step(
                     self.variables['params'],
                     self.variables.get('batch_stats', {}),
@@ -532,6 +571,7 @@ class DeepModel:
         chunks = []
         tap_chunks = {k: [] for k in (want_taps or [])}
         for batch, _, _, valid in it:
+            batch, _, _ = self._place_batch(batch)
             logits, taps = eval_step(self.variables, batch)
             chunks.append(np.asarray(logits[:valid]))
             for k in tap_chunks:
