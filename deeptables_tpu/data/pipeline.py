@@ -86,13 +86,17 @@ class BatchIterator:
                  y: Optional[np.ndarray] = None,
                  sample_weight: Optional[np.ndarray] = None,
                  batch_size: int = 128, shuffle: bool = True,
-                 drop_remainder: bool = True, seed: int = 0):
+                 drop_remainder: bool = True, seed: int = 0,
+                 pad_multiple: int = 1):
         self.arrays = arrays
         self.y = y
         self.sample_weight = sample_weight
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
         self.drop_remainder = drop_remainder
+        # every batch length must divide the mesh data axis; padded rows
+        # carry weight 0 and are sliced off after inference
+        self.pad_multiple = max(int(pad_multiple), 1)
         self.n = len(next(iter(arrays.values())))
         if self.n < self.batch_size:
             # small datasets: a single batch of n rows (reference keeps
@@ -109,12 +113,16 @@ class BatchIterator:
         if self.shuffle:
             self._rng.shuffle(idx)
         bs = self.batch_size
+        pm = self.pad_multiple
         for step in range(self.steps):
             sel = idx[step * bs:(step + 1) * bs]
             valid = len(sel)
             pad = 0
             if not self.drop_remainder and valid < bs and self.n >= bs:
                 pad = bs - valid
+            elif valid % pm != 0:
+                pad = pm - valid % pm
+            if pad > 0:
                 sel = np.concatenate([sel, np.zeros(pad, dtype=sel.dtype)])
             batch = {k: v[sel] for k, v in self.arrays.items()}
             yb = self.y[sel] if self.y is not None else None

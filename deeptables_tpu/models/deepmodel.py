@@ -490,7 +490,8 @@ class DeepModel:
 
         it = pipeline.BatchIterator(
             arrays, y_arr, weights, batch_size=batch_size, shuffle=shuffle,
-            drop_remainder=True, seed=self.config.seed)
+            drop_remainder=True, seed=self.config.seed,
+            pad_multiple=self.strategy.num_data_shards)
         steps = steps_per_epoch or it.steps
 
         logger.info('training...')
@@ -567,7 +568,8 @@ class DeepModel:
         if eval_step is None:
             eval_step = self._get_jitted('eval', self._make_eval_step)
         it = pipeline.BatchIterator(arrays, None, None, batch_size=batch_size,
-                                    shuffle=False, drop_remainder=False)
+                                    shuffle=False, drop_remainder=False,
+                                    pad_multiple=self.strategy.num_data_shards)
         chunks = []
         tap_chunks = {k: [] for k in (want_taps or [])}
         for batch, _, _, valid in it:

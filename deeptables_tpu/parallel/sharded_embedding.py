@@ -24,7 +24,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from .mesh import DATA_AXIS, MODEL_AXIS
 
@@ -88,5 +88,4 @@ def sharded_lookup(table: jax.Array, ids: jax.Array, mesh: Mesh):
         kernel, mesh=mesh,
         in_specs=(P(MODEL_AXIS, None), P(DATA_AXIS, None)),
         out_specs=P(DATA_AXIS, None, None),
-        check_vma=False,
     )(table, ids)

@@ -1,0 +1,102 @@
+# -*- coding:utf-8 -*-
+"""Preprocessor column math (mirrors reference preprocessor_test.py)."""
+
+import numpy as np
+import pytest
+from sklearn.model_selection import train_test_split
+
+from deeptables_tpu.data.datasets import load_adult
+from deeptables_tpu.models import ModelConfig
+from deeptables_tpu.models.preprocessor import DefaultPreprocessor
+
+
+class TestPreprocessor:
+    def test_transform_columns(self):
+        df_train = load_adult(2000)
+        y = df_train.pop(14).values
+        X_train, X_test, y_train, y_test = train_test_split(
+            df_train, y, test_size=0.2, random_state=42)
+        conf = ModelConfig(auto_discrete=True, auto_imputation=True,
+                          auto_encode_label=True, auto_categorize=True,
+                          apply_gbm_features=False)
+        processor = DefaultPreprocessor(conf, use_cache=False)
+        X1, y1 = processor.fit_transform(X_train, y_train)
+        X2, y2 = processor.transform(X_test, y_test)
+        # auto-categorized numerics get _cat twins; discretized get _discrete
+        assert any(c.endswith('_cat') for c in X1.columns)
+        assert any(c.endswith('_discrete') for c in X1.columns)
+        assert set(X1.columns) == set(X2.columns)
+        assert X1.shape[0] == len(y1)
+        # y encoded to ints
+        assert set(np.unique(y1)) <= {0, 1}
+
+    def test_categorical_columns_config(self):
+        df_train = load_adult(1000)
+        y = df_train.pop(14).values
+        conf = ModelConfig(categorical_columns=['x_1', 'x_3', 'x_5'],
+                          auto_discrete=False, auto_imputation=True,
+                          auto_encode_label=True, auto_categorize=False)
+        processor = DefaultPreprocessor(conf, use_cache=False)
+        X, y = processor.fit_transform(df_train, y)
+        assert set(processor.get_categorical_columns()) == \
+            {'x_1', 'x_3', 'x_5'}
+        # object columns not listed are discarded; numerics survive
+        assert 'x_6' not in X.columns or 'x_6' not in \
+            processor.get_categorical_columns()
+
+    def test_inverse_transform_y(self):
+        df = load_adult(500)
+        y = df.pop(14).values
+        processor = DefaultPreprocessor(ModelConfig(), use_cache=False)
+        X1, y1 = processor.fit_transform(df, y)
+        restored = processor.inverse_transform_y(y1)
+        assert set(restored) == set(y)
+
+    def test_missing_y_raises(self):
+        df = load_adult(100)
+        y = df.pop(14).values.astype(object)
+        y[3] = None
+        processor = DefaultPreprocessor(ModelConfig(), use_cache=False)
+        with pytest.raises(ValueError, match='Missing values in y'):
+            processor.fit_transform(df, y)
+
+    def test_fit_cache(self):
+        df = load_adult(400)
+        y = df.pop(14).values
+        p1 = DefaultPreprocessor(ModelConfig(), use_cache=True)
+        X1, _ = p1.fit_transform(df, y)
+        p2 = DefaultPreprocessor(ModelConfig(), use_cache=True)
+        X2, _ = p2.fit_transform(df, y)
+        assert list(X1.columns) == list(X2.columns)
+        assert p2.task == p1.task
+
+    def test_exclude_columns(self):
+        df = load_adult(400)
+        y = df.pop(14).values
+        conf = ModelConfig(exclude_columns=['x_1'])
+        p = DefaultPreprocessor(conf, use_cache=False)
+        X, _ = p.fit_transform(df, y)
+        assert 'x_1' not in p.get_categorical_columns()
+
+    def test_auto_discard_unique(self):
+        df = load_adult(300)
+        y = df.pop(14).values
+        df[2] = 1  # constant column
+        p = DefaultPreprocessor(ModelConfig(), use_cache=False)
+        p.fit_transform(df, y)
+        assert 'x_2' not in p.get_categorical_columns() + \
+            p.get_continuous_columns()
+
+    def test_var_len_metainfo(self):
+        from deeptables_tpu.data.datasets import load_movielens
+        df = load_movielens(300)
+        y = df.pop('rating')
+        df = df.drop(columns=['title'])
+        conf = ModelConfig(task='regression',
+                          var_len_categorical_columns=[('genres', '|', 'max')])
+        p = DefaultPreprocessor(conf, use_cache=False)
+        X, _ = p.fit_transform(df, y)
+        vc = p.var_len_categorical_columns[0]
+        assert vc.name == 'genres'
+        assert vc.max_elements_length >= 1
+        assert isinstance(X['genres'].iloc[0], np.ndarray)
