@@ -214,6 +214,37 @@ class DeepTabularModel(nn.Module):
         return logits, dict(ctx.taps)
 
 
+def _sanitize_config_for_pickle(config):
+    """Strip unpicklable members (device handles, locally-defined callables)
+    from a config before persisting — the analog of the reference stripping
+    the tf distribute strategy (deeptable.py:764-771) and requiring
+    ``register_custom_objects`` for custom layers at load time."""
+    cfg = config._replace(distribute_strategy=None)
+    try:
+        pickle.dumps(cfg)
+        return cfg
+    except Exception:
+        pass
+    metrics = tuple(
+        m if isinstance(m, str) else getattr(m, '__name__', 'metric')
+        for m in (cfg.metrics or ()))
+    loss = cfg.loss if isinstance(cfg.loss, str) else \
+        getattr(cfg.loss, '__name__', 'auto')
+    optimizer = cfg.optimizer if isinstance(cfg.optimizer, str) else 'auto'
+    cfg = cfg._replace(metrics=metrics, loss=loss, optimizer=optimizer)
+    for field in ('dnn_params',):
+        params = dict(getattr(cfg, field))
+        if callable(params.get('custom_dnn_fn')):
+            params['custom_dnn_fn'] = None
+            cfg = cfg._replace(**{field: params})
+    try:
+        pickle.dumps(cfg)
+    except Exception as e:  # pragma: no cover
+        raise ValueError(f'config is not picklable even after sanitizing '
+                         f'callables: {e}')
+    return cfg
+
+
 def probas_from_logits(logits, task):
     if task == consts.TASK_REGRESSION:
         return logits
@@ -363,7 +394,10 @@ class DeepModel:
     # snapshot protocol used by EarlyStopping
     # ------------------------------------------------------------------
     def get_state_snapshot(self):
-        return self.variables
+        # the train step donates its input buffers, so a snapshot must be a
+        # real copy — a reference would be deleted by the next step
+        return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                      self.variables)
 
     def set_state_snapshot(self, snapshot):
         self.variables = snapshot
@@ -646,7 +680,7 @@ class DeepModel:
             'meta': {
                 'task': self.task,
                 'num_classes': self.num_classes,
-                'config': self.config._replace(distribute_strategy=None),
+                'config': _sanitize_config_for_pickle(self.config),
                 'categorical_columns': self.categorical_columns,
                 'continuous_columns': self.continuous_columns,
                 'var_len_categorical_columns':

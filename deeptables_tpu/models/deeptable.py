@@ -452,12 +452,14 @@ class DeepTable:
 
     # ------------------------------------------------------------------
     def __getstate__(self):
+        from .deepmodel import _sanitize_config_for_pickle
         state = self.__dict__.copy()
-        if self.config.distribute_strategy is not None:
+        clean = _sanitize_config_for_pickle(self.config)
+        if clean is not self.config:
             import copy as _copy
-            state['config'] = self.config._replace(distribute_strategy=None)
-            tmp_pre = _copy.deepcopy(self.preprocessor)
-            tmp_pre.config = tmp_pre.config._replace(distribute_strategy=None)
+            state['config'] = clean
+            tmp_pre = _copy.copy(self.preprocessor)
+            tmp_pre.config = _sanitize_config_for_pickle(tmp_pre.config)
             state['preprocessor'] = tmp_pre
         return state
 
