@@ -13,7 +13,7 @@ from deeptables_tpu.models.preprocessor import DefaultPreprocessor
 class TestPreprocessor:
     def test_transform_columns(self):
         df_train = load_adult(2000)
-        y = df_train.pop(14).values
+        y = np.asarray(df_train.pop(14))
         X_train, X_test, y_train, y_test = train_test_split(
             df_train, y, test_size=0.2, random_state=42)
         conf = ModelConfig(auto_discrete=True, auto_imputation=True,
