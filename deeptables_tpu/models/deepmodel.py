@@ -452,6 +452,12 @@ class DeepModel:
             use_multiprocessing=False):
         if batch_size is None:
             batch_size = 128
+        if y is None and hasattr(X, 'steps') and hasattr(X, '__iter__'):
+            # out-of-core path: X is a StreamingDataLoader-like batch source
+            return self._fit_from_loader(
+                X, validation_data, epochs=epochs, verbose=verbose,
+                callbacks=callbacks, initial_epoch=initial_epoch,
+                steps_per_epoch=steps_per_epoch)
         if validation_data is None:
             from sklearn.model_selection import train_test_split
             stratify = None
@@ -591,6 +597,87 @@ class DeepModel:
         for cb in cbs:
             cb.on_train_end()
         logger.info(f'Training finished in {time.time() - t_start:.2f}s.')
+        history.history = IgnoreCaseDict(history.history)
+        return history
+
+    def _fit_from_loader(self, train_loader, val_loader=None, epochs=1,
+                         verbose=1, callbacks=None, initial_epoch=0,
+                         steps_per_epoch=None):
+        """Epoch loop over a streaming batch source (out-of-core training —
+        the TPU-native analog of the reference's Dask generator path,
+        dataset_generator.py:171-238)."""
+        first = next(iter(train_loader))
+        sample_batch = {k: v[:2] for k, v in first[0].items()}
+        self.build(sample_batch=sample_batch)
+        self._place_on_mesh()
+        self._tx = _resolve_optimizer(self.config.optimizer,
+                                      self.config.learning_rate)
+        if self.opt_state is None:
+            self.opt_state = jax.jit(self._tx.init)(self.variables['params'])
+        train_step = self._get_jitted('train', self._make_train_step)
+        eval_step = self._get_jitted('eval', self._make_eval_step)
+        loss_fn = self._loss_fn()
+        metric_specs = [metrics_lib.get_metric(m) for m in self.config.metrics]
+
+        history = History()
+        history.set_model(self)
+        cbs: List[Callback] = [history]
+        for cb in (callbacks or []):
+            cb.set_model(self)
+            cbs.append(cb)
+        self.stop_training = False
+        for cb in cbs:
+            cb.on_train_begin()
+        rng = jax.random.PRNGKey(self.config.seed + 17)
+
+        for epoch in range(initial_epoch, epochs):
+            for cb in cbs:
+                cb.on_epoch_begin(epoch)
+            losses = []
+            steps = 0
+            for batch, yb, wb, valid in train_loader:
+                rng, step_rng = jax.random.split(rng)
+                batch, yb, wb = self._place_batch(batch, yb, wb)
+                params, bs, opt_state, loss, _ = train_step(
+                    self.variables['params'],
+                    self.variables.get('batch_stats', {}),
+                    self.opt_state, batch, yb, wb, step_rng)
+                self.variables = {'params': params, 'batch_stats': bs}
+                self.opt_state = opt_state
+                losses.append(loss)
+                steps += 1
+                if steps_per_epoch and steps >= steps_per_epoch:
+                    break
+            logs = {'loss': float(np.mean(jax.device_get(losses)))}
+
+            if val_loader is not None:
+                logits_parts, y_parts = [], []
+                for batch, yb, wb, valid in val_loader:
+                    batch, _, _ = self._place_batch(batch)
+                    logits, _ = eval_step(self.variables, batch)
+                    logits_parts.append(np.asarray(logits[:valid]))
+                    y_parts.append(np.asarray(yb[:valid]))
+                val_logits = np.concatenate(logits_parts)
+                val_y = np.concatenate(y_parts)
+                val_probas = np.asarray(probas_from_logits(
+                    jnp.asarray(val_logits), self.task))
+                logs['val_loss'] = float(loss_fn(jnp.asarray(val_logits),
+                                                 jnp.asarray(val_y)))
+                for name, fn in metric_specs:
+                    try:
+                        logs[f'val_{name}'] = float(fn(val_y, val_probas))
+                    except Exception as e:  # pragma: no cover
+                        logger.warning(f'val metric {name} failed: {e}')
+
+            if verbose:
+                msg = ' - '.join(f'{k}: {v:.4f}' for k, v in logs.items())
+                logger.info(f'Epoch {epoch + 1}/{epochs} - {msg}')
+            for cb in cbs:
+                cb.on_epoch_end(epoch, logs)
+            if self.stop_training:
+                break
+        for cb in cbs:
+            cb.on_train_end()
         history.history = IgnoreCaseDict(history.history)
         return history
 
