@@ -129,6 +129,9 @@ class ModelConfig:
     distribute_strategy: Any = None
     var_len_categorical_columns: Any = None
     # --- TPU-native extensions ---
+    dense_batch_norm: bool = True  # normalize raw continuous inputs before
+    # any net sees them (the reference's never-enabled use_batchnormalization
+    # flag at deepmodel.py:422, defaulted on here for out-of-box stability)
     embedding_device_strategy: str = 'replicated'  # 'replicated' | 'sharded'
     dtype_policy: str = 'float32'  # 'float32' | 'bfloat16'
     learning_rate: float = 0.001

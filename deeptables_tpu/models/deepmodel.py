@@ -132,7 +132,15 @@ class DeepTabularModel(nn.Module):
                 dense_layer = nn.Dropout(
                     config.dense_dropout, name='dropout_dense_input')(
                     dense_layer, deterministic=not training)
-        model_desc.set_dense(config.dense_dropout, False)
+            if config.dense_batch_norm:
+                # the reference has this flag but never enables it
+                # (deepmodel.py:422,431); without it, raw continuous features
+                # (e.g. census fnlwgt ~5e5) blow up the linear/wide logits.
+                dense_layer = nn.BatchNorm(
+                    use_running_average=not training, momentum=0.9,
+                    epsilon=1e-3,
+                    name=consts.LAYER_NAME_BN_DENSE_ALL)(dense_layer)
+        model_desc.set_dense(config.dense_dropout, config.dense_batch_norm)
 
         # ---- flatten/concat + BN (reference deepmodel.py:269-278,348-361) --
         flatten_emb_layer = flatten_embeddings(embeddings)
