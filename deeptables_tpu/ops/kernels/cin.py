@@ -3,18 +3,21 @@
 
 One CIN layer computes ``z_bld = Σ_{f,g} x0_bfd · h_bgd · W_lfg``
 (the math of reference layers.py:690-705, which loops D ``tf.split`` +
-conv1d calls).  A plain einsum forces XLA to materialize a
-``(B, D, F·G)``-sized intermediate in HBM; this kernel instead forms each
-per-dim outer product ``E_d = x0_d ⊗ h_d`` in VMEM and immediately
-contracts it with the flattened weight on the MXU — the interaction tensor
-never touches HBM.
+conv1d calls).  A naive einsum materializes a huge interaction intermediate
+in HBM; this kernel factors the contraction per embedding dim d as
 
-Layout: inputs are pre-transposed to dim-major ``(B, D, F)`` / ``(B, D, G)``
-so per-dim slices are contiguous; the kernel writes ``(B, D, L)`` and the
-wrapper transposes back to the module's ``(B, L, D)``.
+    M_d  = h_d @ W2            # (TB, G) × (G, F·L) → (TB, F·L) on the MXU
+    z_d  = Σ_f x0_d[:, f] ⊙ M_d[:, f, :]          # VPU reduce over fields
 
-The custom VJP mirrors the same structure (dE stays in VMEM; dW accumulates
-across batch-grid steps in a revisited output block).
+with ``W2[g, f·L+l] = W_lfg`` precomputed outside.  The grid is
+``(batch_tiles, D)`` so each program handles one embedding dim of one batch
+tile — VMEM holds a single M_d and Mosaic double-buffers the tiles.  The
+only in-kernel reshape splits the minor axis in units of L, which stays
+lane-aligned when L is a multiple of 128 (use :func:`supported` to gate; any
+shape works in interpret mode / the jnp fallback).
+
+The custom VJP mirrors the structure; dW2 accumulates across grid steps in
+a revisited output block.
 """
 
 import functools
@@ -24,7 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_B = 256
+DEFAULT_BLOCK_B = 512
+LANE = 128
 
 
 def _block_b(batch, requested=None):
@@ -36,50 +40,59 @@ def _block_b(batch, requested=None):
     return tb
 
 
-def _cin_fwd_kernel(x0_ref, h_ref, w_ref, o_ref):
-    # x0_ref (TB, D, F), h_ref (TB, D, G), w_ref (F*G, L), o_ref (TB, D, L)
-    D = x0_ref.shape[1]
+def supported(L, interpret=False):
+    """Whether the Mosaic lowering constraints hold for this layer size."""
+    return interpret or L % LANE == 0
+
+
+def _cin_fwd_kernel(x0_ref, h_ref, w2_ref, o_ref):
+    # blocks: x0 (1, TB, F), h (1, TB, G), w2 (G, F*L), o (1, TB, L)
     F = x0_ref.shape[2]
-    G = h_ref.shape[2]
-    w = w_ref[...]
-    for d in range(D):
-        x0_d = x0_ref[:, d, :]  # (TB, F)
-        h_d = h_ref[:, d, :]  # (TB, G)
-        e = (x0_d[:, :, None] * h_d[:, None, :]).reshape(-1, F * G)
-        o_ref[:, d, :] = jnp.dot(e, w, preferred_element_type=jnp.float32
-                                 ).astype(o_ref.dtype)
+    L = o_ref.shape[2]
+    x0_d = x0_ref[0]  # (TB, F)
+    h_d = h_ref[0]  # (TB, G)
+    m = jnp.dot(h_d, w2_ref[...], preferred_element_type=jnp.float32)
+    m3 = m.reshape(-1, F, L)
+    z = jnp.sum(x0_d[:, :, None].astype(jnp.float32) * m3, axis=1)
+    o_ref[0] = z.astype(o_ref.dtype)
 
 
-def _cin_bwd_kernel(x0_ref, h_ref, w_ref, g_ref,
-                    dx0_ref, dh_ref, dw_ref):
-    # g_ref (TB, D, L); dw_ref (F*G, L) accumulated across grid steps
-    D = x0_ref.shape[1]
+def _cin_bwd_kernel(x0_ref, h_ref, w2_ref, g_ref,
+                    dx0_ref, dh_ref, dw2_ref):
     F = x0_ref.shape[2]
-    G = h_ref.shape[2]
-    w = w_ref[...]  # (F*G, L)
+    L = g_ref.shape[2]
+    w2 = w2_ref[...]
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
     def _():
-        dw_ref[...] = jnp.zeros_like(dw_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
 
-    for d in range(D):
-        x0_d = x0_ref[:, d, :]  # (TB, F)
-        h_d = h_ref[:, d, :]  # (TB, G)
-        g_d = g_ref[:, d, :]  # (TB, L)
-        # dE_d = g_d @ W^T → (TB, F*G)
-        de = jnp.dot(g_d, w.T, preferred_element_type=jnp.float32)
-        de3 = de.reshape(-1, F, G)
-        dx0_ref[:, d, :] = jnp.einsum(
-            'bfg,bg->bf', de3, h_d.astype(de3.dtype),
-            preferred_element_type=jnp.float32).astype(dx0_ref.dtype)
-        dh_ref[:, d, :] = jnp.einsum(
-            'bfg,bf->bg', de3, x0_d.astype(de3.dtype),
-            preferred_element_type=jnp.float32).astype(dh_ref.dtype)
-        e = (x0_d[:, :, None] * h_d[:, None, :]).reshape(-1, F * G)
-        dw_ref[...] += jnp.dot(e.T.astype(jnp.float32),
-                               g_d.astype(jnp.float32),
-                               preferred_element_type=jnp.float32
-                               ).astype(dw_ref.dtype)
+    x0_d = x0_ref[0].astype(jnp.float32)  # (TB, F)
+    h_d = h_ref[0].astype(jnp.float32)  # (TB, G)
+    g_d = g_ref[0].astype(jnp.float32)  # (TB, L)
+    m = jnp.dot(h_d, w2, preferred_element_type=jnp.float32)
+    m3 = m.reshape(-1, F, L)
+    # dx0_d[b,f] = Σ_l m3[b,f,l] g_d[b,l]
+    dx0_ref[0] = jnp.sum(m3 * g_d[:, None, :], axis=2) \
+        .astype(dx0_ref.dtype)
+    # dm3[b,f,l] = x0_d[b,f] g_d[b,l]
+    dm = (x0_d[:, :, None] * g_d[:, None, :]).reshape(-1, F * L)
+    dh_ref[0] = jnp.dot(dm, w2.T,
+                        preferred_element_type=jnp.float32) \
+        .astype(dh_ref.dtype)
+    dw2_ref[...] += jnp.dot(h_d.T, dm,
+                            preferred_element_type=jnp.float32) \
+        .astype(dw2_ref.dtype)
+
+
+def _w_to_w2(w):
+    # (L, F, G) → (G, F*L): W2[g, f*L+l] = W[l, f, g]
+    L, F, G = w.shape
+    return w.transpose(2, 1, 0).reshape(G, F * L)
+
+
+def _w2_to_w(w2, L, F, G):
+    return w2.reshape(G, F, L).transpose(2, 1, 0)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -93,24 +106,26 @@ def _cin_fwd(x0, h, w, block_b=None, interpret=False):
     G = h.shape[1]
     L = w.shape[0]
     tb = _block_b(B, block_b)
-    x0_t = x0.transpose(0, 2, 1)  # (B, D, F)
-    h_t = h.transpose(0, 2, 1)  # (B, D, G)
-    wm = w.reshape(L, F * G).T  # (F*G, L)
+    x0_t = x0.transpose(2, 0, 1)  # (D, B, F)
+    h_t = h.transpose(2, 0, 1)  # (D, B, G)
+    w2 = _w_to_w2(w)  # (G, F*L)
     spec = pltpu.ANY if interpret else pltpu.VMEM
-    z_bdl = pl.pallas_call(
+    z_dbl = pl.pallas_call(
         _cin_fwd_kernel,
-        grid=(B // tb,),
+        grid=(D, B // tb),
         in_specs=[
-            pl.BlockSpec((tb, D, F), lambda i: (i, 0, 0), memory_space=spec),
-            pl.BlockSpec((tb, D, G), lambda i: (i, 0, 0), memory_space=spec),
-            pl.BlockSpec((F * G, L), lambda i: (0, 0), memory_space=spec),
+            pl.BlockSpec((1, tb, F), lambda d, i: (d, i, 0),
+                         memory_space=spec),
+            pl.BlockSpec((1, tb, G), lambda d, i: (d, i, 0),
+                         memory_space=spec),
+            pl.BlockSpec((G, F * L), lambda d, i: (0, 0), memory_space=spec),
         ],
-        out_specs=pl.BlockSpec((tb, D, L), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, tb, L), lambda d, i: (d, i, 0),
                                memory_space=spec),
-        out_shape=jax.ShapeDtypeStruct((B, D, L), x0.dtype),
+        out_shape=jax.ShapeDtypeStruct((D, B, L), x0.dtype),
         interpret=interpret,
-    )(x0_t, h_t, wm)
-    return z_bdl.transpose(0, 2, 1), (x0, h, w)
+    )(x0_t, h_t, w2)
+    return z_dbl.transpose(1, 2, 0), (x0, h, w)
 
 
 def _cin_bwd(block_b, interpret, residuals, g):
@@ -119,35 +134,40 @@ def _cin_bwd(block_b, interpret, residuals, g):
     G = h.shape[1]
     L = w.shape[0]
     tb = _block_b(B, block_b)
-    x0_t = x0.transpose(0, 2, 1)
-    h_t = h.transpose(0, 2, 1)
-    wm = w.reshape(L, F * G).T
-    g_t = g.transpose(0, 2, 1)  # (B, D, L)
+    x0_t = x0.transpose(2, 0, 1)
+    h_t = h.transpose(2, 0, 1)
+    w2 = _w_to_w2(w)
+    g_t = g.transpose(2, 0, 1)  # (D, B, L)
     spec = pltpu.ANY if interpret else pltpu.VMEM
-    dx0_t, dh_t, dwm = pl.pallas_call(
+    dx0_t, dh_t, dw2 = pl.pallas_call(
         _cin_bwd_kernel,
-        grid=(B // tb,),
+        grid=(D, B // tb),
         in_specs=[
-            pl.BlockSpec((tb, D, F), lambda i: (i, 0, 0), memory_space=spec),
-            pl.BlockSpec((tb, D, G), lambda i: (i, 0, 0), memory_space=spec),
-            pl.BlockSpec((F * G, L), lambda i: (0, 0), memory_space=spec),
-            pl.BlockSpec((tb, D, L), lambda i: (i, 0, 0), memory_space=spec),
+            pl.BlockSpec((1, tb, F), lambda d, i: (d, i, 0),
+                         memory_space=spec),
+            pl.BlockSpec((1, tb, G), lambda d, i: (d, i, 0),
+                         memory_space=spec),
+            pl.BlockSpec((G, F * L), lambda d, i: (0, 0), memory_space=spec),
+            pl.BlockSpec((1, tb, L), lambda d, i: (d, i, 0),
+                         memory_space=spec),
         ],
         out_specs=[
-            pl.BlockSpec((tb, D, F), lambda i: (i, 0, 0), memory_space=spec),
-            pl.BlockSpec((tb, D, G), lambda i: (i, 0, 0), memory_space=spec),
-            pl.BlockSpec((F * G, L), lambda i: (0, 0), memory_space=spec),
+            pl.BlockSpec((1, tb, F), lambda d, i: (d, i, 0),
+                         memory_space=spec),
+            pl.BlockSpec((1, tb, G), lambda d, i: (d, i, 0),
+                         memory_space=spec),
+            pl.BlockSpec((G, F * L), lambda d, i: (0, 0), memory_space=spec),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, D, F), x0.dtype),
-            jax.ShapeDtypeStruct((B, D, G), h.dtype),
-            jax.ShapeDtypeStruct((F * G, L), w.dtype),
+            jax.ShapeDtypeStruct((D, B, F), x0.dtype),
+            jax.ShapeDtypeStruct((D, B, G), h.dtype),
+            jax.ShapeDtypeStruct((G, F * L), w.dtype),
         ],
         interpret=interpret,
-    )(x0_t, h_t, wm, g_t.astype(x0.dtype))
-    dx0 = dx0_t.transpose(0, 2, 1)
-    dh = dh_t.transpose(0, 2, 1)
-    dw = dwm.T.reshape(L, F, G)
+    )(x0_t, h_t, w2, g_t.astype(x0.dtype))
+    dx0 = dx0_t.transpose(1, 2, 0)
+    dh = dh_t.transpose(1, 2, 0)
+    dw = _w2_to_w(dw2, L, F, G)
     return dx0, dh, dw
 
 
