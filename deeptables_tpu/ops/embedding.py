@@ -19,11 +19,48 @@ skip the redundant concatenation.
 
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
 from .initializers import get_initializer
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _make_table_lookup(shape, dtype_name):
+    dtype = jnp.dtype(dtype_name)
+
+    @jax.custom_vjp
+    def lookup(table, flat_ids):
+        return jnp.take(table, flat_ids, axis=0)
+
+    def fwd(table, flat_ids):
+        return jnp.take(table, flat_ids, axis=0), flat_ids
+
+    def bwd(flat_ids, g):
+        g = g.astype(jnp.float32)
+        dtable = jnp.zeros(shape, jnp.float32).at[flat_ids].add(g)
+        return dtable.astype(dtype), None
+
+    lookup.defvjp(fwd, bwd)
+    return lookup
+
+
+def table_lookup(table, flat_ids):
+    """Row gather with a hand-written backward.
+
+    XLA's autodiff-produced scatter for the fused-table gather gets laid out
+    column-major inside the full training graph (measured: 49 ms of a 57 ms
+    DeepFM step at B=32k on v5e, vs 0.03 ms for the same scatter in
+    isolation).  Pinning the backward to this explicit flat formulation lets
+    layout assignment keep the table row-major.
+    """
+    return _make_table_lookup(tuple(table.shape), table.dtype.name)(
+        table, flat_ids)
 
 
 class EmbeddingList(list):
@@ -127,7 +164,8 @@ class MultiColumnEmbedding(nn.Module):
             table = self.param(f'embeddings_d{dim}', init,
                                (total_vocab, dim), jnp.dtype(self.param_dtype))
             group_ids = ids[:, jnp.asarray(col_indices)] + jnp.asarray(offsets)
-            emb = jnp.take(table, group_ids, axis=0)  # (B, n_group, dim)
+            emb = table_lookup(table, group_ids.reshape(-1)).reshape(
+                ids.shape[0], len(col_indices), dim)  # (B, n_group, dim)
             if self.dropout_rate > 0:
                 # SpatialDropout1D semantics: drop whole embedding channels
                 # per (batch, channel), shared across fields.
