@@ -33,7 +33,13 @@ class TestVariableEmbeddingDims:
         assert dims == [4, 8]
         d4 = plan[0]
         assert d4[1] == [0, 2]  # columns with dim 4
-        assert d4[3] == 40  # 10 + 30 rows
+        assert d4[3] == 40  # 10 + 30 logical rows
+        assert list(d4[2]) == [0, 10]
+        # physical storage is lane-packed: 40 rows of width 4 → 2×(32·4)
+        from deeptables_tpu.ops.embedding import packed_shape
+        assert packed_shape(40, 4) == (2, 128)
+        assert packed_shape(100, 16) == (13, 128)
+        assert packed_shape(100, 200) == (100, 200)  # >128 lanes: unpacked
 
     def test_dnn_trains_with_var_dims(self):
         df = load_bank(400)
