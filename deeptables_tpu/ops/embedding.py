@@ -84,6 +84,93 @@ def _make_packed_lookup(n_packed, k, dim, dtype_name):
     return lookup
 
 
+@functools.lru_cache(maxsize=None)
+def _make_multicol_lookup(n_packed, k, dim, dtype_name, vocabs, offsets):
+    """Lookup over a kernel-aligned fused table (see ``plan_groups``).
+
+    Forward: one fused lane-packed gather.  Backward: on TPU, columns with
+    vocabulary ≤ SCATTER_MIN_VOCAB get their gradient from the MXU one-hot
+    matmul kernel, the long tail from a lane-packed scatter-add; every
+    other platform takes the all-scatter branch (selected at lowering time
+    via ``jax.lax.platform_dependent``, so one trace serves both).
+    Columns are vocab-ascending so the kernel region is the table prefix.
+    """
+    from .kernels.emb_grad import TILE_P, emb_grad_matmul
+
+    dtype = jnp.dtype(dtype_name)
+    n_cols = len(vocabs)
+    n_small = sum(1 for v in vocabs if v <= SCATTER_MIN_VOCAB)
+
+    col_steps = []
+    p_small = 0
+    for j in range(n_small):
+        tiles = -(-vocabs[j] // (k * TILE_P))
+        col_steps.extend((j, p_small // TILE_P + t) for t in range(tiles))
+        p_small += tiles * TILE_P
+    if n_small:
+        assert offsets[n_small - 1] // k + \
+            -(-vocabs[n_small - 1] // (k * TILE_P)) * TILE_P == p_small
+
+    base_lookup = _make_packed_lookup(n_packed, k, dim, dtype_name)
+
+    @jax.custom_vjp
+    def lookup(table, flat_ids):
+        return base_lookup(table, flat_ids)
+
+    def fwd(table, flat_ids):
+        return lookup(table, flat_ids), flat_ids
+
+    def scatter_grad(ids2, g3, lo_col, row_base, rows_out):
+        """Lane-packed scatter-add over columns [lo_col:), rows offset."""
+        idsr = ids2[:, lo_col:].reshape(-1)
+        gr = g3[:, lo_col:].reshape(-1, dim)
+        if k > 1:
+            sel = jax.nn.one_hot(idsr % k, k, dtype=jnp.float32)
+            upd = (gr[:, None, :] * sel[:, :, None]).reshape(-1, k * dim)
+        else:
+            upd = gr
+        out = jnp.zeros((rows_out, k * dim), jnp.float32)
+        return out.at[idsr // k - row_base].add(upd)
+
+    def kernel_branch(ids2, g3):
+        parts = []
+        if n_small:
+            parts.append(emb_grad_matmul(
+                ids2[:, :n_small], g3[:, :n_small], tuple(col_steps),
+                p_small, k, dim))
+        if n_small < n_cols:
+            parts.append(scatter_grad(ids2, g3, n_small, p_small,
+                                      n_packed - p_small))
+        return parts[0] if len(parts) == 1 else \
+            jnp.concatenate(parts, axis=0)
+
+    def scatter_branch(ids2, g3):
+        return scatter_grad(ids2, g3, 0, 0, n_packed)
+
+    def bwd(flat_ids, g):
+        g = g.astype(jnp.float32)
+        ids2 = flat_ids.reshape(-1, n_cols)
+        g3 = g.reshape(-1, n_cols, dim)
+        if n_small:
+            dtable = jax.lax.platform_dependent(
+                ids2, g3, tpu=kernel_branch, default=scatter_branch)
+        else:
+            dtable = scatter_branch(ids2, g3)
+        return dtable.astype(dtype), None
+
+    lookup.defvjp(fwd, bwd)
+    return lookup
+
+
+def multicol_lookup(table, flat_ids, dim: int, vocabs, offsets):
+    """Fused multi-column gather with the column-structured backward."""
+    k = table.shape[1] // dim
+    return _make_multicol_lookup(
+        table.shape[0], k, dim, table.dtype.name,
+        tuple(int(v) for v in vocabs), tuple(int(o) for o in offsets))(
+        table, flat_ids)
+
+
 def packed_lookup(table, flat_ids, dim: int):
     """Gather logical rows of width ``dim`` from a lane-packed table.
 
@@ -176,25 +263,59 @@ def flatten_embeddings(embeddings) -> Optional[jnp.ndarray]:
     return flat[0] if len(flat) == 1 else jnp.concatenate(flat, axis=1)
 
 
+# Columns with vocabulary above this use scatter-add for their gradient;
+# smaller columns go through the MXU one-hot matmul kernel (TPU only).
+# The kernel's cost scales with the aligned vocabulary (one-hot tiles),
+# the scatter's with the update count (~8-14 ns/row measured on v5e);
+# they cross over around 8k rows.
+SCATTER_MIN_VOCAB = 8192
+
+
 def plan_groups(input_dims: Sequence[int], output_dims: Sequence[int]):
     """Group column indices by embedding width.
 
     Returns a list of ``(dim, col_indices, vocab_offsets, total_vocab)``.
     Deterministic given the schema, computed once at trace time.
-    ``total_vocab`` is the logical row count; the physical table allocates
-    ``packed_shape(total_vocab, dim)`` (lane-packed, padded up to a full
-    packed row — padding rows are never addressed and keep zero gradients).
+    ``total_vocab`` is the logical row count including alignment padding;
+    the physical table allocates ``packed_shape(total_vocab, dim)``
+    (lane-packed).  Within a packed width group, columns are ordered by
+    ascending vocabulary and each column's region starts at a multiple of
+    ``TILE_P`` packed rows, so the gradient kernel's output tiles map to
+    exactly one column (see ops/kernels/emb_grad.py).  Padding rows are
+    never addressed and keep zero gradients.
     """
+    from .kernels.emb_grad import TILE_P
     groups = {}
     for idx, (voc, dim) in enumerate(zip(input_dims, output_dims)):
         groups.setdefault(int(dim), []).append((idx, int(voc)))
     plan = []
     for dim in sorted(groups):
         cols = groups[dim]
-        col_indices = [c for c, _ in cols]
-        vocabs = [v for _, v in cols]
-        offsets = np.concatenate([[0], np.cumsum(vocabs)[:-1]]).astype(np.int32)
-        plan.append((dim, col_indices, offsets, int(np.sum(vocabs))))
+        k = _pack_factor(dim)
+        logical = sum(v for _, v in cols)
+        align = k * TILE_P
+        aligned_total = sum(-(-v // align) * align for _, v in cols)
+        # kernel layout only when the alignment padding is cheap; tiny
+        # schemas stay compact and take the scatter gradient path instead
+        use_aligned = k > 1 and \
+            aligned_total <= max(4 * logical, logical + 8 * align)
+        if use_aligned:
+            # kernel layout: vocab-ascending, TILE_P-aligned regions
+            cols = sorted(cols, key=lambda cv: (cv[1], cv[0]))
+            offsets, cur = [], 0
+            for _, v in cols:
+                offsets.append(cur)
+                cur += -(-v // align) * align
+            col_indices = [c for c, _ in cols]
+            plan.append((dim, col_indices,
+                         np.asarray(offsets, np.int32), cur, True))
+        else:
+            col_indices = [c for c, _ in cols]
+            vocabs = [v for _, v in cols]
+            offsets = np.concatenate(
+                [[0], np.cumsum(vocabs)[:-1]]).astype(np.int32)
+            plan.append((dim, col_indices, offsets, int(np.sum(vocabs)),
+                         False))
     return plan
 
 
@@ -232,7 +353,7 @@ class MultiColumnEmbedding(nn.Module):
         per_col = [None] * n_cols
         uniform_width = len(plan) == 1
         stacked = None
-        for dim, col_indices, offsets, total_vocab in plan:
+        for dim, col_indices, offsets, total_vocab, aligned in plan:
             # The table is stored lane-packed — physical shape
             # packed_shape(total_vocab, dim) — so gathers, the backward
             # scatter-add, and optimizer updates all move full 128-lane rows.
@@ -240,7 +361,13 @@ class MultiColumnEmbedding(nn.Module):
                                packed_shape(total_vocab, dim),
                                jnp.dtype(self.param_dtype))
             group_ids = ids[:, jnp.asarray(col_indices)] + jnp.asarray(offsets)
-            emb = packed_lookup(table, group_ids.reshape(-1), dim).reshape(
+            if aligned:
+                vocabs = [self.input_dims[c] for c in col_indices]
+                emb = multicol_lookup(table, group_ids.reshape(-1), dim,
+                                      vocabs, offsets)
+            else:
+                emb = packed_lookup(table, group_ids.reshape(-1), dim)
+            emb = emb.reshape(
                 ids.shape[0], len(col_indices), dim)  # (B, n_group, dim)
             if self.dropout_rate > 0:
                 # SpatialDropout1D semantics: drop whole embedding channels

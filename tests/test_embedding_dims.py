@@ -32,14 +32,26 @@ class TestVariableEmbeddingDims:
         dims = [p[0] for p in plan]
         assert dims == [4, 8]
         d4 = plan[0]
-        assert d4[1] == [0, 2]  # columns with dim 4
-        assert d4[3] == 40  # 10 + 30 logical rows
-        assert list(d4[2]) == [0, 10]
-        # physical storage is lane-packed: 40 rows of width 4 → 2×(32·4)
+        assert d4[1] == [0, 2]  # columns with dim 4, vocab-ascending
+        # kernel-aligned layout: each column region starts at a multiple of
+        # k*TILE_P = 32*256 = 8192 logical rows
+        assert d4[4] is True
+        assert list(d4[2]) == [0, 8192]
+        assert d4[3] == 16384
+        # physical storage is lane-packed
         from deeptables_tpu.ops.embedding import packed_shape
         assert packed_shape(40, 4) == (2, 128)
         assert packed_shape(100, 16) == (13, 128)
         assert packed_shape(100, 200) == (100, 200)  # >128 lanes: unpacked
+
+    def test_plan_compact_fallback_for_tiny_schemas(self):
+        # alignment padding too costly relative to the logical size when
+        # there are many tiny columns → compact layout, scatter gradients
+        plan = plan_groups([10] * 100, [4] * 100)
+        dim, cols, offsets, total, aligned = plan[0]
+        assert aligned is False
+        assert total == 1000
+        assert list(offsets[:3]) == [0, 10, 20]
 
     def test_dnn_trains_with_var_dims(self):
         df = load_bank(400)
