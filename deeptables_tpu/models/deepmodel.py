@@ -82,6 +82,11 @@ class DeepTabularModel(nn.Module):
                 input_dims=input_dims, output_dims=output_dims,
                 dropout_rate=config.embedding_dropout,
                 embeddings_initializer=config.embeddings_initializer,
+                # a pallas_call cannot be SPMD-partitioned through a row
+                # sharding; sharded tables take the scatter gradient (XLA
+                # partitions it into shard-local scatters)
+                use_grad_kernel=(
+                    config.embedding_device_strategy != 'sharded'),
                 name=consts.LAYER_PREFIX_EMBEDDING + 'categorical_vars_all',
             )(batch[pipeline.CAT_KEY], training=training)
             model_desc.set_embeddings(list(input_dims), list(output_dims),

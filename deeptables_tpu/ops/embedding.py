@@ -333,6 +333,10 @@ class MultiColumnEmbedding(nn.Module):
     dropout_rate: float = 0.
     embeddings_initializer: str = 'uniform'
     param_dtype: str = 'float32'
+    # MXU one-hot-matmul gradient kernel (TPU). Disable when the table is
+    # row-sharded over a mesh axis: XLA cannot partition a pallas_call, so
+    # sharded training must take the scatter gradient instead.
+    use_grad_kernel: bool = True
 
     @nn.compact
     def __call__(self, ids, training: bool = False):
@@ -346,7 +350,9 @@ class MultiColumnEmbedding(nn.Module):
             raise ValueError(
                 'The inputs dimension on axis 1 must be the same as the '
                 'length of [input_dims].')
-        ids = ids.astype(jnp.int32)
+        # jnp (not numpy) so fancy-indexing with traced constants works
+        # when callers jit over raw numpy batches
+        ids = jnp.asarray(ids).astype(jnp.int32)
         init = get_initializer(self.embeddings_initializer, default='uniform')
 
         plan = plan_groups(self.input_dims, self.output_dims)
@@ -361,7 +367,7 @@ class MultiColumnEmbedding(nn.Module):
                                packed_shape(total_vocab, dim),
                                jnp.dtype(self.param_dtype))
             group_ids = ids[:, jnp.asarray(col_indices)] + jnp.asarray(offsets)
-            if aligned:
+            if aligned and self.use_grad_kernel:
                 vocabs = [self.input_dims[c] for c in col_indices]
                 emb = multicol_lookup(table, group_ids.reshape(-1), dim,
                                       vocabs, offsets)
