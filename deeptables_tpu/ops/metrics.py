@@ -171,6 +171,7 @@ _METRICS = {
     'mean_squared_error': mse,
     'rmse': rmse,
     'root_mean_squared_error': rmse,
+    'rootmeansquarederror': rmse,  # Keras metric class name
     'mae': mae,
     'mean_absolute_error': mae,
     'msle': msle,

@@ -100,3 +100,35 @@ class TestExperiment:
                               cv=True, num_folds=2, epochs=1, verbose=0)
         est = exp.run()
         assert est.model.task == 'binary'
+
+
+class TestRegressionSearch:
+    """Parity: reference hyper_dt_regression_test.py — random search with an
+    RMSE reward (minimize) on boston, then final_train + evaluate."""
+
+    def test_boston_rmse(self):
+        from deeptables_tpu.data.datasets import load_boston
+        from sklearn.model_selection import train_test_split
+
+        df = load_boston(400)
+        y = df.pop('target')
+        X_train, X_test, y_train, y_test = train_test_split(
+            df, y, test_size=0.2, random_state=42)
+
+        hdt = HyperDT(space_fn=tiny_dt_space,
+                      reward_metric='RootMeanSquaredError')
+        assert not hdt._greater_is_better
+        best = hdt.search(X_train, y_train, X_test, y_test,
+                          max_trials=3, epochs=1, verbose=0)
+        assert best is not None and best.succeeded
+        assert np.isfinite(best.reward)
+        # minimize: best reward is the smallest observed
+        rewards = [t.reward for t in hdt.history if t.succeeded]
+        assert best.reward == min(rewards)
+
+        est = hdt.final_train(df, y, epochs=1, verbose=0)
+        assert est.model.task == 'regression'
+        pred = est.predict(X_test.head(10))
+        assert pred.shape[0] == 10
+        scores = est.evaluate(X_test, y_test)
+        assert any(k.lower() == 'rootmeansquarederror' for k in scores)
