@@ -22,6 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def timed_scan(step_fn, carry, xs_steps, n_warm=1, n_rounds=3):
     """Per-step seconds of `step_fn(carry, x) -> (carry, out)` over a scan."""
     import jax
+    import jax.numpy as jnp
+
+    # donation consumes the carry; hand it a private copy so callers can
+    # keep reusing the model's variables across ablation variants
+    carry = jax.tree_util.tree_map(jnp.copy, carry)
 
     def chunk(carry):
         idx = np.arange(xs_steps, dtype=np.int32) % 8
@@ -103,6 +108,11 @@ def main():
 
     results = {}
 
+    def record(name, v):
+        results[name] = v
+        print(f'{name:28s} {v*1e3:8.3f} ms/step   '
+              f'{batch_size/v/1e6:8.2f} M examples/s', flush=True)
+
     # --- full step ---
     def full(carry, i):
         p, bs, o = carry
@@ -112,12 +122,10 @@ def main():
         upd, no = tx.update(grads, o, p)
         return (optax.apply_updates(p, upd), nbs, no), loss
 
-    results['full_step'] = timed_scan(full, (params0, bstats0, opt0), steps)
+    record('full_step', timed_scan(full, (params0, bstats0, opt0), steps))
 
     # --- forward only (carry a scalar so the scan isn't dead-code) ---
-    model.build(sample_batch=sample)
-    p1 = model.variables['params']
-    b1 = model.variables.get('batch_stats', {})
+    p1, b1 = params0, bstats0
 
     def fwd_only(carry, i):
         p, bs, acc = carry
@@ -125,12 +133,10 @@ def main():
         loss, nbs = forward_loss(p, bs, b, yb)
         return (p, nbs, acc + loss), loss
 
-    results['forward'] = timed_scan(fwd_only, (p1, b1, jnp.float32(0)), steps)
+    record('forward', timed_scan(fwd_only, (p1, b1, jnp.float32(0)), steps))
 
     # --- forward+backward, no optimizer (sum grads into carry) ---
-    model.build(sample_batch=sample)
-    p2 = model.variables['params']
-    b2 = model.variables.get('batch_stats', {})
+    p2, b2 = params0, bstats0
     gacc0 = jax.tree_util.tree_map(jnp.zeros_like, p2)
 
     def fwd_bwd(carry, i):
@@ -142,12 +148,10 @@ def main():
             lambda a, g: a + g.astype(a.dtype), gacc, grads)
         return (p, nbs, gacc), loss
 
-    results['forward_backward'] = timed_scan(
-        fwd_bwd, (p2, b2, gacc0), steps)
+    record('forward_backward', timed_scan(fwd_bwd, (p2, b2, gacc0), steps))
 
     # --- optimizer only (adam over same param tree, fixed grads) ---
-    model.build(sample_batch=sample)
-    p3 = model.variables['params']
+    p3 = params0
     g3 = jax.tree_util.tree_map(lambda a: jnp.ones_like(a) * 1e-6, p3)
     o3 = jax.jit(tx.init)(p3)
 
@@ -156,7 +160,7 @@ def main():
         upd, no = tx.update(g3, o, p)
         return (optax.apply_updates(p, upd), no), jnp.float32(0)
 
-    results['adam_only'] = timed_scan(opt_only, (p3, o3), steps)
+    record('adam_only', timed_scan(opt_only, (p3, o3), steps))
 
     # --- embedding path only: lookup -> mean -> scalar loss ---
     from deeptables_tpu.ops.embedding import MultiColumnEmbedding
@@ -179,12 +183,66 @@ def main():
         upd, no = tx.update(grads, o, p)
         return (optax.apply_updates(p, upd), no), loss
 
-    results['embedding_fwd_bwd_adam'] = timed_scan(emb_step, (pe, oe), steps)
+    record('embedding_fwd_bwd_adam', timed_scan(emb_step, (pe, oe), steps))
 
-    for k, v in results.items():
-        ms = v * 1e3
-        eps = batch_size / v
-        print(f'{k:28s} {ms:8.3f} ms/step   {eps/1e6:8.2f} M examples/s')
+    if os.environ.get('PROF_EMB', '1') == '1':
+        # --- embedding sub-ablation ---
+        def emb_fwd_step(carry, i):
+            p, acc = carry
+            b, _ = pick(i)
+            out = emb_mod.apply({'params': p}, b['cat'])
+            s = jnp.sum(out.stacked.astype(jnp.float32) ** 2) * 1e-6
+            return (p, acc + s), s
+
+        record('embedding_fwd', timed_scan(
+            emb_fwd_step, (pe, jnp.float32(0)), steps))
+
+        gacc_e = jax.tree_util.tree_map(jnp.zeros_like, pe)
+
+        def emb_fwd_bwd(carry, i):
+            p, gacc = carry
+            b, _ = pick(i)
+            loss, grads = jax.value_and_grad(emb_loss)(p, b['cat'])
+            gacc = jax.tree_util.tree_map(lambda a, g: a + g, gacc, grads)
+            return (p, gacc), loss
+
+        record('embedding_fwd_bwd', timed_scan(
+            emb_fwd_bwd, (pe, gacc_e), steps))
+
+        # all-scatter gradient (kernel disabled)
+        emb_sc = MultiColumnEmbedding(
+            input_dims=tuple(int(v) + 1 for v in vocab_sizes),
+            output_dims=tuple(emb_dim for _ in vocab_sizes),
+            use_grad_kernel=False)
+        ps = emb_sc.init(jax.random.PRNGKey(0),
+                         sample['cat'].astype(np.int32))['params']
+        gacc_s = jax.tree_util.tree_map(jnp.zeros_like, ps)
+
+        def emb_loss_sc(p, ids):
+            out = emb_sc.apply({'params': p}, ids)
+            return jnp.sum(out.stacked.astype(jnp.float32) ** 2) * 1e-6
+
+        def emb_fwd_bwd_sc(carry, i):
+            p, gacc = carry
+            b, _ = pick(i)
+            loss, grads = jax.value_and_grad(emb_loss_sc)(p, b['cat'])
+            gacc = jax.tree_util.tree_map(lambda a, g: a + g, gacc, grads)
+            return (p, gacc), loss
+
+        record('embedding_fwd_bwd_scatter', timed_scan(
+            emb_fwd_bwd_sc, (ps, gacc_s), steps))
+
+        # adam over the table tree only
+        oe2 = jax.jit(tx.init)(pe)
+        ge = jax.tree_util.tree_map(lambda a: jnp.ones_like(a) * 1e-6, pe)
+
+        def emb_adam_only(carry, i):
+            p, o = carry
+            upd, no = tx.update(ge, o, p)
+            return (optax.apply_updates(p, upd), no), jnp.float32(0)
+
+        record('embedding_adam_only', timed_scan(
+            emb_adam_only, (pe, oe2), steps))
 
 
 if __name__ == '__main__':

@@ -11,7 +11,8 @@ TPU-specific additions (all default to single-chip behavior):
 
 - ``distribute_strategy`` accepts a :class:`deeptables_tpu.parallel.DataParallel`
   (or similar strategy object) instead of a ``tf.distribute.Strategy``.
-- ``embedding_device_strategy``: 'replicated' | 'sharded' — row-shard large
+- ``embedding_device_strategy``: 'replicated' | 'sharded' | 'sharded_a2a' —
+  row-shard large
   embedding tables over the mesh model axis (reference has no equivalent;
   SURVEY.md §2.2).
 - ``dtype_policy``: 'float32' | 'bfloat16' — compute dtype for dense towers.
@@ -132,7 +133,9 @@ class ModelConfig:
     dense_batch_norm: bool = True  # normalize raw continuous inputs before
     # any net sees them (the reference's never-enabled use_batchnormalization
     # flag at deepmodel.py:422, defaulted on here for out-of-box stability)
-    embedding_device_strategy: str = 'replicated'  # 'replicated' | 'sharded'
+    embedding_device_strategy: str = 'replicated'
+    # 'replicated' | 'sharded' (XLA-partitioned gather + psum)
+    # | 'sharded_a2a' (explicit shard_map all-to-all row exchange)
     dtype_policy: str = 'float32'  # 'float32' | 'bfloat16'
     learning_rate: float = 0.001
     seed: int = 9527

@@ -78,6 +78,9 @@ class DeepTabularModel(nn.Module):
         if len(cat_cols) > 0:
             input_dims = tuple(int(c.vocabulary_size) for c in cat_cols)
             output_dims = tuple(int(c.embeddings_output_dim) for c in cat_cols)
+            a2a_mesh = None
+            if config.embedding_device_strategy == 'sharded_a2a':
+                a2a_mesh = get_strategy(config.distribute_strategy).mesh
             embeddings = MultiColumnEmbedding(
                 input_dims=input_dims, output_dims=output_dims,
                 dropout_rate=config.embedding_dropout,
@@ -86,7 +89,9 @@ class DeepTabularModel(nn.Module):
                 # sharding; sharded tables take the scatter gradient (XLA
                 # partitions it into shard-local scatters)
                 use_grad_kernel=(
-                    config.embedding_device_strategy != 'sharded'),
+                    not config.embedding_device_strategy.startswith(
+                        'sharded')),
+                a2a_mesh=a2a_mesh,
                 name=consts.LAYER_PREFIX_EMBEDDING + 'categorical_vars_all',
             )(batch[pipeline.CAT_KEY], training=training)
             model_desc.set_embeddings(list(input_dims), list(output_dims),
@@ -384,7 +389,8 @@ class DeepModel:
         if self._n_mesh_devices <= 1:
             return
         strat = self.strategy
-        shard_emb = self.config.embedding_device_strategy == 'sharded'
+        shard_emb = self.config.embedding_device_strategy in (
+            'sharded', 'sharded_a2a')
         threshold = getattr(strat, 'shard_threshold', 0)
         shardings = variable_shardings(self.variables, strat.mesh,
                                        shard_embeddings=shard_emb,

@@ -17,7 +17,7 @@ tensors" contract (so nets and custom user nets keep working), while exposing
 skip the redundant concatenation.
 """
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -337,6 +337,13 @@ class MultiColumnEmbedding(nn.Module):
     # row-sharded over a mesh axis: XLA cannot partition a pallas_call, so
     # sharded training must take the scatter gradient instead.
     use_grad_kernel: bool = True
+    # Explicit all-to-all row exchange over a (data, model) mesh
+    # (embedding_device_strategy='sharded_a2a'): packed tables are padded to
+    # a model-axis multiple and looked up via
+    # parallel.sharded_embedding.sharded_lookup_a2a instead of relying on
+    # XLA's SPMD partitioning of the plain gather.
+    a2a_mesh: Any = None
+    a2a_capacity_factor: float = 2.0
 
     @nn.compact
     def __call__(self, ids, training: bool = False):
@@ -355,6 +362,11 @@ class MultiColumnEmbedding(nn.Module):
         ids = jnp.asarray(ids).astype(jnp.int32)
         init = get_initializer(self.embeddings_initializer, default='uniform')
 
+        from ..parallel.mesh import MODEL_AXIS
+        use_a2a = (self.a2a_mesh is not None
+                   and self.a2a_mesh.shape[MODEL_AXIS] > 1)
+        n_model = self.a2a_mesh.shape[MODEL_AXIS] if use_a2a else 1
+
         plan = plan_groups(self.input_dims, self.output_dims)
         per_col = [None] * n_cols
         uniform_width = len(plan) == 1
@@ -363,11 +375,19 @@ class MultiColumnEmbedding(nn.Module):
             # The table is stored lane-packed — physical shape
             # packed_shape(total_vocab, dim) — so gathers, the backward
             # scatter-add, and optimizer updates all move full 128-lane rows.
+            p_rows, p_width = packed_shape(total_vocab, dim)
+            if use_a2a:  # pad rows so the table row-shards evenly
+                p_rows = -(-p_rows // n_model) * n_model
             table = self.param(f'embeddings_d{dim}', init,
-                               packed_shape(total_vocab, dim),
+                               (p_rows, p_width),
                                jnp.dtype(self.param_dtype))
             group_ids = ids[:, jnp.asarray(col_indices)] + jnp.asarray(offsets)
-            if aligned and self.use_grad_kernel:
+            if use_a2a:
+                from ..parallel.sharded_embedding import sharded_lookup_a2a
+                emb = sharded_lookup_a2a(
+                    table, group_ids, self.a2a_mesh,
+                    capacity_factor=self.a2a_capacity_factor, dim=dim)
+            elif aligned and self.use_grad_kernel:
                 vocabs = [self.input_dims[c] for c in col_indices]
                 emb = multicol_lookup(table, group_ids.reshape(-1), dim,
                                       vocabs, offsets)

@@ -111,3 +111,148 @@ def test_graft_dryrun():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
     g.dryrun_multichip(4)
+
+
+@requires_8
+class TestShardedLookupA2A:
+    """All-to-all exchange lookup vs dense oracle (+ gradient, + packing)."""
+
+    def _oracle_and_run(self, mesh, vocab, dim, B, F, k_pack=1, seed=0,
+                        capacity_factor=None):
+        from deeptables_tpu.parallel.sharded_embedding import \
+            sharded_lookup_a2a
+        n_model = mesh.shape['model']
+        rng = np.random.default_rng(seed)
+        dense = rng.normal(size=(vocab, dim)).astype(np.float32)
+        ids = rng.integers(0, vocab, (B, F)).astype(np.int32)
+        if capacity_factor is None:
+            capacity_factor = float(n_model)  # exact
+        if k_pack > 1:
+            assert vocab % k_pack == 0
+            table = dense.reshape(vocab // k_pack, k_pack * dim)
+        else:
+            table = dense
+        out = jax.jit(
+            lambda t, i: sharded_lookup_a2a(
+                t, i, mesh, capacity_factor=capacity_factor, dim=dim)
+        )(jnp.asarray(table), jnp.asarray(ids))
+        return dense, ids, np.asarray(out), table
+
+    def test_matches_dense_gather(self):
+        mesh = build_mesh(data_parallel=4, model_parallel=2)
+        dense, ids, out, _ = self._oracle_and_run(mesh, 64, 8, 16, 5)
+        np.testing.assert_allclose(out, dense[ids], rtol=1e-6)
+
+    def test_model4(self):
+        mesh = build_mesh(data_parallel=2, model_parallel=4)
+        dense, ids, out, _ = self._oracle_and_run(mesh, 128, 4, 8, 7)
+        np.testing.assert_allclose(out, dense[ids], rtol=1e-6)
+
+    def test_lane_packed(self):
+        mesh = build_mesh(data_parallel=4, model_parallel=2)
+        dense, ids, out, _ = self._oracle_and_run(mesh, 64, 8, 16, 5,
+                                                  k_pack=4)
+        np.testing.assert_allclose(out, dense[ids], rtol=1e-6)
+
+    def test_skewed_ids_exact_capacity(self):
+        from deeptables_tpu.parallel.sharded_embedding import \
+            sharded_lookup_a2a
+        mesh = build_mesh(data_parallel=4, model_parallel=2)
+        rng = np.random.default_rng(3)
+        dense = rng.normal(size=(64, 8)).astype(np.float32)
+        # every id owned by shard 0 — worst-case skew
+        ids = rng.integers(0, 32, (16, 5)).astype(np.int32)
+        out = jax.jit(lambda t, i: sharded_lookup_a2a(
+            t, i, mesh, capacity_factor=2.0))(
+            jnp.asarray(dense), jnp.asarray(ids))
+        np.testing.assert_allclose(np.asarray(out), dense[ids], rtol=1e-6)
+
+    def test_gradient_matches_oracle(self):
+        from deeptables_tpu.parallel.sharded_embedding import \
+            sharded_lookup_a2a
+        mesh = build_mesh(data_parallel=4, model_parallel=2)
+        rng = np.random.default_rng(5)
+        dense = jnp.asarray(rng.normal(size=(32, 4)).astype(np.float32))
+        ids = jnp.asarray(rng.integers(0, 32, (8, 3)).astype(np.int32))
+        w = jnp.asarray(rng.normal(size=(8, 3, 4)).astype(np.float32))
+
+        def loss_a2a(t):
+            return jnp.sum(sharded_lookup_a2a(t, ids, mesh,
+                                              capacity_factor=2.0) * w)
+
+        def loss_dense(t):
+            return jnp.sum(jnp.take(t, ids, axis=0) * w)
+
+        g = jax.jit(jax.grad(loss_a2a))(dense)
+        g_ref = jax.grad(loss_dense)(dense)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   rtol=1e-5, atol=1e-6)
+
+
+@requires_8
+class TestShardedA2AFit:
+    """End-to-end fit with embedding_device_strategy='sharded_a2a': tables
+    row-sharded, lookups via explicit all-to-all exchange."""
+
+    def test_fit_sharded_a2a(self):
+        from deeptables_tpu.models import DeepTable, ModelConfig
+        import pandas as pd
+        rng = np.random.default_rng(0)
+        n = 512
+        df = pd.DataFrame({
+            'c1': rng.integers(0, 50, n).astype(str),
+            'c2': rng.integers(0, 30, n).astype(str),
+            'n1': rng.normal(size=n),
+        })
+        y = pd.Series(rng.choice(['a', 'b'], n))
+        strategy = DataAndModelParallel(data_parallel=4, model_parallel=2)
+        conf = ModelConfig(nets=['dnn_nets'], metrics=['AUC'],
+                           distribute_strategy=strategy,
+                           embedding_device_strategy='sharded_a2a',
+                           embedding_dropout=0)
+        dt = DeepTable(config=conf)
+        _, history = dt.fit(df, y, epochs=1, batch_size=64, verbose=0)
+        assert 'val_auc' in history.history
+        assert np.isfinite(history.history['loss'][-1])
+
+    def test_a2a_matches_replicated_forward(self):
+        """Same params → same logits whether looked up replicated or a2a."""
+        from deeptables_tpu.models.config import ModelConfig
+        from deeptables_tpu.models.deepmodel import DeepModel
+        from deeptables_tpu.models.metainfo import (CategoricalColumn,
+                                                    ContinuousColumn)
+        rng = np.random.default_rng(2)
+        vocab, emb_dim, B = 64, 4, 32
+        batch = {'cat': rng.integers(0, vocab, (B, 4)).astype(np.int32),
+                 'input_continuous_all':
+                     rng.normal(size=(B, 3)).astype(np.float32)}
+        cat_cols = tuple(CategoricalColumn(f'C{i}', vocab, emb_dim)
+                         for i in range(4))
+        cont_cols = (ContinuousColumn('input_continuous_all',
+                                      ['I0', 'I1', 'I2']),)
+
+        strategy = DataAndModelParallel(data_parallel=4, model_parallel=2)
+        conf_a2a = ModelConfig(nets=['linear', 'fm_nets', 'dnn_nets'],
+                               metrics=['AUC'],
+                               distribute_strategy=strategy,
+                               embedding_device_strategy='sharded_a2a',
+                               embedding_dropout=0)
+        m_a2a = DeepModel('binary', 2, conf_a2a, cat_cols, cont_cols)
+        m_a2a.build(sample_batch=batch)
+
+        conf_rep = conf_a2a._replace(embedding_device_strategy='replicated',
+                                     distribute_strategy=None)
+        m_rep = DeepModel('binary', 2, conf_rep, cat_cols, cont_cols)
+        m_rep.build(sample_batch=batch)
+        # copy a2a params into the replicated model (same shapes: vocab
+        # pads already divide the model axis here)
+        m_rep.variables = jax.tree_util.tree_map(
+            lambda a: np.asarray(a), m_a2a.variables)
+
+        logits_a2a, _ = m_a2a.module.apply(m_a2a.variables, batch,
+                                           training=False)
+        logits_rep, _ = m_rep.module.apply(m_rep.variables, batch,
+                                           training=False)
+        np.testing.assert_allclose(np.asarray(logits_a2a),
+                                   np.asarray(logits_rep),
+                                   rtol=1e-5, atol=1e-5)
