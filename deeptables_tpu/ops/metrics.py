@@ -221,6 +221,19 @@ def calc_score(y_true, y_pred, y_proba, metrics, task, pos_label=None,
     Parity: hypernets toolbox ``metrics.calc_score`` used for OOF scoring
     (reference deeptable.py:474-476).
     """
+    # proba-space metrics assume integer-encoded labels; encode raw
+    # (string/bool/object) labels the way LabelEncoder would (sorted
+    # uniques), honoring pos_label for the binary case
+    y_true_enc = y_true
+    if task != consts.TASK_REGRESSION:
+        yt_arr = _to_numpy(y_true).reshape(-1)
+        if yt_arr.dtype.kind in ('U', 'S', 'O', 'b'):
+            uniq = np.unique(yt_arr)
+            if pos_label is not None and len(uniq) == 2:
+                y_true_enc = (yt_arr == pos_label).astype(np.int64)
+            else:
+                y_true_enc = np.searchsorted(uniq, yt_arr)
+
     result = {}
     for m in metrics:
         name, fn = get_metric(m)
@@ -229,7 +242,7 @@ def calc_score(y_true, y_pred, y_proba, metrics, task, pos_label=None,
                 'auc', 'roc_auc', 'pr_auc', 'logloss', 'log_loss', 'mse',
                 'rmse', 'mae', 'msle', 'r2'):
             y_in = y_proba if task != consts.TASK_REGRESSION else y_pred
-            result[name] = float(fn(y_true, y_in))
+            result[name] = float(fn(y_true_enc, y_in))
         else:
             # label-space metrics: compare encoded labels
             yt = _to_numpy(y_true).reshape(-1)

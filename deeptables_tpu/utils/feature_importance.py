@@ -20,8 +20,7 @@ logger = dt_logging.get_logger(__name__)
 def _score_fn(dt_model, columns, metric, mode):
     metric = metric.lower()
 
-    def score(X_values, y_s) -> float:
-        df = pd.DataFrame(X_values, columns=columns)
+    def score(df, y_s) -> float:
         if metric in ('auc', 'log_loss', 'logloss'):
             y_proba = dt_model.predict_proba(df)
             y_pred = y_proba
@@ -50,16 +49,19 @@ def get_score_importances(dt_model, X, y, metric, n_iter=5, mode='min',
     """
     columns = X.columns.to_list()
     score = _score_fn(dt_model, columns, metric, mode)
-    X_values = np.asarray(X)
+    X = X.reset_index(drop=True)
     y = np.asarray(y)
     rng = np.random.default_rng(random_state)
 
-    base_score = score(X_values, y)
+    base_score = score(X, y)
     decreases = np.zeros((n_iter, len(columns)))
     for it in range(n_iter):
-        for j in range(len(columns)):
-            X_perm = X_values.copy()
-            X_perm[:, j] = rng.permutation(X_perm[:, j])
+        for j, col in enumerate(columns):
+            # permute one column in-place on a DataFrame copy so every
+            # column keeps its dtype (an object ndarray round-trip would
+            # break the preprocessor's numeric-column handling)
+            X_perm = X.copy()
+            X_perm[col] = rng.permutation(X_perm[col].to_numpy())
             decreases[it, j] = base_score - score(X_perm, y)
     feature_importances = np.stack(
         [columns, decreases.mean(axis=0)], axis=1)

@@ -24,6 +24,9 @@ class TestFeatureImportance:
         fi = get_score_importances(dt, X_small, y_small, 'AUC', n_iter=1,
                                    mode='max')
         assert fi.shape == (df.shape[1], 2)
+        # shuffling real columns must actually move the score: all-zero
+        # importances mean the scoring round-trip broke (dtype loss)
+        assert np.abs(fi[:, 1].astype(float)).sum() > 0
         selected, discarded = select_features(fi, threshold=-np.inf)
         assert len(selected) + len(discarded) == df.shape[1]
 
