@@ -312,6 +312,7 @@ class DeepModel:
         self.module: Optional[DeepTabularModel] = None
         self.variables = None  # {'params': ..., 'batch_stats': ...}
         self.opt_state = None
+        self.loss_state = None  # stateful losses (GHMC momentum histogram)
         self._tx = None
         self._strategy = None
         self._jit_cache = {}
@@ -427,24 +428,29 @@ class DeepModel:
     def _make_train_step(self):
         module = self._build_module()
         loss_fn = self._loss_fn()
+        stateful_loss = bool(getattr(loss_fn, 'stateful', False))
         tx = self._tx
 
-        def train_step(params, batch_stats, opt_state, batch, y, w, rng):
+        def train_step(params, batch_stats, opt_state, loss_state,
+                       batch, y, w, rng):
             def compute_loss(p):
                 (logits, _taps), mutated = module.apply(
                     {'params': p, 'batch_stats': batch_stats}, batch,
                     training=True, rngs={'dropout': rng},
                     mutable=['batch_stats'])
-                loss = loss_fn(logits, y, w)
-                return loss, (logits, mutated.get('batch_stats', {}))
+                if stateful_loss:
+                    loss, new_ls = loss_fn(logits, y, w, state=loss_state)
+                else:
+                    loss, new_ls = loss_fn(logits, y, w), loss_state
+                return loss, (logits, mutated.get('batch_stats', {}), new_ls)
 
-            (loss, (logits, new_bs)), grads = jax.value_and_grad(
+            (loss, (logits, new_bs, new_ls)), grads = jax.value_and_grad(
                 compute_loss, has_aux=True)(params)
             updates, new_opt_state = tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
-            return new_params, new_bs, new_opt_state, loss, logits
+            return new_params, new_bs, new_opt_state, new_ls, loss, logits
 
-        return jax.jit(train_step, donate_argnums=(0, 1, 2))
+        return jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
 
     def _make_eval_step(self):
         module = self._build_module()
@@ -545,6 +551,8 @@ class DeepModel:
 
         metric_specs = [metrics_lib.get_metric(m) for m in self.config.metrics]
         loss_fn = self._loss_fn()
+        if getattr(loss_fn, 'stateful', False) and self.loss_state is None:
+            self.loss_state = loss_fn.init_state()
         rng = jax.random.PRNGKey(self.config.seed + 13)
 
         it = pipeline.BatchIterator(
@@ -564,13 +572,14 @@ class DeepModel:
             for batch, yb, wb, valid in it:
                 rng, step_rng = jax.random.split(rng)
                 batch, yb, wb = self._place_batch(batch, yb, wb)
-                params, bs, opt_state, loss, logits = train_step(
+                params, bs, opt_state, loss_state, loss, logits = train_step(
                     self.variables['params'],
                     self.variables.get('batch_stats', {}),
-                    self.opt_state, batch, yb,
+                    self.opt_state, self.loss_state, batch, yb,
                     wb if wb is not None else None, step_rng)
                 self.variables = {'params': params, 'batch_stats': bs}
                 self.opt_state = opt_state
+                self.loss_state = loss_state
                 epoch_losses.append(loss)
                 if len(train_ys) * batch_size < 200_000:
                     # keep device arrays; defer host transfer to epoch end so
@@ -636,6 +645,8 @@ class DeepModel:
         train_step = self._get_jitted('train', self._make_train_step)
         eval_step = self._get_jitted('eval', self._make_eval_step)
         loss_fn = self._loss_fn()
+        if getattr(loss_fn, 'stateful', False) and self.loss_state is None:
+            self.loss_state = loss_fn.init_state()
         metric_specs = [metrics_lib.get_metric(m) for m in self.config.metrics]
 
         history = History()
@@ -657,12 +668,13 @@ class DeepModel:
             for batch, yb, wb, valid in train_loader:
                 rng, step_rng = jax.random.split(rng)
                 batch, yb, wb = self._place_batch(batch, yb, wb)
-                params, bs, opt_state, loss, _ = train_step(
+                params, bs, opt_state, loss_state, loss, _ = train_step(
                     self.variables['params'],
                     self.variables.get('batch_stats', {}),
-                    self.opt_state, batch, yb, wb, step_rng)
+                    self.opt_state, self.loss_state, batch, yb, wb, step_rng)
                 self.variables = {'params': params, 'batch_stats': bs}
                 self.opt_state = opt_state
+                self.loss_state = loss_state
                 losses.append(loss)
                 steps += 1
                 if steps_per_epoch and steps >= steps_per_epoch:

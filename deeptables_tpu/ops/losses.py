@@ -112,38 +112,71 @@ def categorical_focal_loss(gamma: float = 2., alpha: float = .25):
     return loss
 
 
-def ghmc_loss(bins: int = 10, momentum: float = 0.0):
+class GHMCLoss:
     """Gradient-Harmonizing-Mechanism classification loss
-    (reference layers.py:1085-1163).
+    (reference layers.py:1085-1163; default ``momentum=0.75`` there).
 
-    The stateless (momentum=0) variant weights each sample by the inverse
-    density of its gradient-norm bin, computed per batch.  The momentum
-    variant is provided as :func:`ghmc_loss_with_state` since it carries an
-    EMA of bin counts across steps (a functional train-state field, not a
-    hidden ``tf.Variable``).
+    Each sample is weighted by the inverse density of its gradient-norm
+    bin.  With ``momentum > 0`` the bin counts are an EMA carried across
+    steps — the reference keeps it in a hidden ``tf.Variable``; here it is
+    an explicit functional state threaded through the train step:
+
+    - ``init_state()`` → initial (bins,) count vector;
+    - ``loss(logits, y, w, state=s)`` → ``(loss, new_state)``;
+    - ``loss(logits, y, w)`` (no state, e.g. validation) falls back to
+      per-batch counts without updating anything.
     """
-    edges_left = jnp.asarray([i / bins for i in range(bins)])
-    edges_right = jnp.asarray([(i + 1) / bins for i in range(bins)])
-    edges_right = edges_right.at[-1].add(1e-6)
 
-    def loss(logits, y_true, sample_weight=None):
+    def __init__(self, bins: int = 10, momentum: float = 0.75):
+        self.bins = bins
+        self.momentum = momentum
+        self.stateful = momentum > 0
+        self.__name__ = 'ghmc_loss'
+        self._edges_left = jnp.asarray([i / bins for i in range(bins)])
+        er = jnp.asarray([(i + 1) / bins for i in range(bins)])
+        self._edges_right = er.at[-1].add(1e-6)
+
+    def init_state(self):
+        return jnp.zeros((self.bins,), jnp.float32)
+
+    def __call__(self, logits, y_true, sample_weight=None, state=None):
         logits2 = logits.reshape(logits.shape[0], -1)
         target = y_true.reshape(logits2.shape).astype(logits2.dtype)
         g = jnp.abs(jax.nn.sigmoid(logits2) - target)  # (B, C)
-        inds = ((g[None] >= edges_left[:, None, None]) &
-                (g[None] < edges_right[:, None, None])).astype(logits2.dtype)
+        inds = ((g[None] >= self._edges_left[:, None, None]) &
+                (g[None] < self._edges_right[:, None, None])
+                ).astype(logits2.dtype)
         tot = jnp.maximum(float(1) * logits2.shape[0] * logits2.shape[1], 1.0)
         num_in_bin = jnp.sum(inds, axis=(1, 2))  # (bins,)
         num_valid_bin = jnp.sum((num_in_bin > 0).astype(logits2.dtype))
+
+        new_state = None
+        if state is not None and self.momentum > 0:
+            mmt = self.momentum
+            new_state = jnp.where(num_in_bin > 0,
+                                  mmt * state + (1 - mmt) * num_in_bin,
+                                  state)
+            denom = new_state.astype(logits2.dtype)
+        else:
+            denom = num_in_bin
         weights = jnp.where(inds == 1,
-                            tot / jnp.maximum(num_in_bin, _EPS)[:, None, None],
+                            tot / jnp.maximum(denom, _EPS)[:, None, None],
                             0.0)
         weights = jnp.sum(weights, axis=0) / jnp.maximum(num_valid_bin, 1.0)
+        # weight gradients are zero a.e. (pure indicator functions); cut the
+        # AD graph explicitly so the backward pass skips them
+        weights = jax.lax.stop_gradient(weights)
         per = jnp.maximum(logits2, 0) - logits2 * target + \
             jnp.log1p(jnp.exp(-jnp.abs(logits2)))
-        return jnp.sum(per * weights) / tot
-    loss.__name__ = 'ghmc_loss'
-    return loss
+        loss = jnp.sum(per * weights) / tot
+        if state is not None:
+            return loss, (new_state if new_state is not None else state)
+        return loss
+
+
+def ghmc_loss(bins: int = 10, momentum: float = 0.0):
+    """Factory form of :class:`GHMCLoss` (stateless by default)."""
+    return GHMCLoss(bins=bins, momentum=momentum)
 
 
 # keras-style aliases accepted in ModelConfig.loss
@@ -189,3 +222,9 @@ def auto_loss_name(task, num_classes):
 
 
 _LOSSES['multilabel_binary_crossentropy'] = multilabel_binary_crossentropy
+# custom-loss names accepted in ModelConfig.loss (reference users construct
+# BinaryFocalLoss()/GHMCLoss() objects; strings also work here)
+_LOSSES['binary_focal_loss'] = binary_focal_loss()
+_LOSSES['categorical_focal_loss'] = categorical_focal_loss()
+_LOSSES['ghmc'] = GHMCLoss(momentum=0.75)
+_LOSSES['ghmc_loss'] = _LOSSES['ghmc']

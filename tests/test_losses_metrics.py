@@ -61,6 +61,44 @@ class TestLosses:
         loss = L.ghmc_loss(bins=10)(jnp.asarray(logits), jnp.asarray(y))
         assert np.isfinite(float(loss))
 
+    def test_ghmc_stateful_momentum(self, binary_data):
+        # reference GHMCLoss keeps an EMA of bin counts in a tf.Variable
+        # (layers.py:1146-1150); here the state is threaded explicitly
+        logits, y = binary_data
+        logits, y = jnp.asarray(logits), jnp.asarray(y)
+        ghmc = L.GHMCLoss(bins=10, momentum=0.75)
+        assert ghmc.stateful
+        s0 = ghmc.init_state()
+        l1, s1 = ghmc(logits, y, state=s0)
+        l2, s2 = ghmc(logits, y, state=s1)
+        assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+        # EMA state must move away from zero and keep integrating
+        assert float(jnp.abs(s1).sum()) > 0
+        assert not np.allclose(np.asarray(s1), np.asarray(s2))
+        # occupied bins converge toward the (stationary) batch counts
+        batch_counts = np.asarray(s1) / 0.25  # s1 = (1-mmt)*counts from zero
+        occupied = batch_counts > 0
+        gap1 = np.abs(np.asarray(s1) - batch_counts)[occupied]
+        gap2 = np.abs(np.asarray(s2) - batch_counts)[occupied]
+        assert (gap2 <= gap1 + 1e-6).all()
+        # stateless call (validation path) still returns a bare scalar
+        bare = ghmc(logits, y)
+        assert np.isfinite(float(bare))
+
+    def test_ghmc_trains_end_to_end(self):
+        import pandas as pd
+        from deeptables_tpu.models import DeepTable, ModelConfig
+        rng = np.random.default_rng(0)
+        n = 400
+        x = rng.normal(size=(n, 4)).astype(np.float32)
+        y = (x[:, 0] + 0.5 * x[:, 1] > 0).astype(int)
+        df = pd.DataFrame(x, columns=list('abcd'))
+        dt = DeepTable(ModelConfig(nets=['dnn_nets'], metrics=['AUC'],
+                                   loss='ghmc', embedding_dropout=0))
+        _, history = dt.fit(df, pd.Series(y), epochs=3, verbose=0)
+        assert np.isfinite(history.history['loss'][-1])
+        assert history.history['loss'][-1] < history.history['loss'][0]
+
     def test_auto_loss(self):
         assert L.auto_loss_name('binary', 2) == 'binary_crossentropy'
         assert L.auto_loss_name('regression', 0) == 'mse'
