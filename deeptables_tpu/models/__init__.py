@@ -7,6 +7,7 @@ from .deepmodel import DeepModel, DeepTabularModel, IgnoreCaseDict, ModelDesc
 from .deeptable import DeepTable, probe_evaluate
 from .preprocessor import AbstractPreprocessor, DefaultPreprocessor
 from . import deepnets
+from .deepnets import register_custom_objects, register_nets
 from .callbacks import Callback, EarlyStopping, History, ModelCheckpoint
 
 

@@ -139,6 +139,11 @@ class ModelConfig:
     dtype_policy: str = 'float32'  # 'float32' | 'bfloat16'
     learning_rate: float = 0.001
     seed: int = 9527
+    # Train-epoch metrics (not loss) are computed over at most this many
+    # examples per epoch to bound the host-side metric cost on huge epochs;
+    # None = score every training example. Validation metrics always use the
+    # full validation set.
+    train_metrics_sample_limit: Optional[int] = 200_000
 
     def __post_init__(self):
         var_len = self.var_len_categorical_columns

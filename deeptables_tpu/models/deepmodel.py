@@ -37,6 +37,7 @@ from .metainfo import CategoricalColumn, VarLenCategoricalColumn
 from ..data import pipeline
 from ..ops import losses as losses_lib
 from ..ops import metrics as metrics_lib
+from ..ops import regularizers as regularizers_lib
 from ..ops.embedding import (EmbeddingList, MultiColumnEmbedding,
                              VarLenColumnEmbedding, concat_embeddings,
                              flatten_embeddings)
@@ -122,6 +123,15 @@ class DeepTabularModel(nn.Module):
                 stacked = jnp.concatenate(items, axis=1) \
                     if len(widths) == 1 else None
             embeddings = EmbeddingList(items, stacked=stacked)
+
+        # activity regularizer on the embedding outputs (parity: reference
+        # layers.py:848,867 passes activity_regularizer into each Embedding);
+        # the penalty rides the taps dict into the train step's loss.
+        act_reg = regularizers_lib.get_regularizer(
+            config.embeddings_activity_regularizer)
+        if act_reg is not None and len(embeddings) > 0:
+            penalty = sum(act_reg(e.astype(jnp.float32)) for e in embeddings)
+            ctx.tap('__embeddings_activity_reg__', penalty)
 
         if compute_dtype != jnp.float32 and len(embeddings) > 0:
             embeddings = EmbeddingList(
@@ -236,8 +246,26 @@ def _sanitize_config_for_pickle(config):
     """Strip unpicklable members (device handles, locally-defined callables)
     from a config before persisting — the analog of the reference stripping
     the tf distribute strategy (deeptable.py:764-771) and requiring
-    ``register_custom_objects`` for custom layers at load time."""
+    ``register_custom_objects`` for custom layers at load time
+    (reference layers.py:1165-1186).
+
+    Custom callables in ``dnn_params['custom_dnn_fn']`` persist **by name**:
+    the callable is auto-registered in ``deepnets.dt_custom_objects`` (so
+    in-process load works) and the name is resolved through that registry at
+    build time — a fresh process must re-register via
+    ``register_custom_objects`` or ``load(..., custom_objects=...)``, and an
+    unregistered name fails loudly instead of silently rebuilding with the
+    default dnn."""
     cfg = config._replace(distribute_strategy=None)
+    # custom_dnn_fn persists by registered name regardless of picklability —
+    # pickling a module-level function by reference would still break when
+    # the defining module is absent at load.
+    params = dict(cfg.dnn_params)
+    fn = params.get('custom_dnn_fn')
+    if callable(fn):
+        deepnets.register_custom_objects(fn)
+        params['custom_dnn_fn'] = fn.__name__
+        cfg = cfg._replace(dnn_params=params)
     try:
         pickle.dumps(cfg)
         return cfg
@@ -250,11 +278,6 @@ def _sanitize_config_for_pickle(config):
         getattr(cfg.loss, '__name__', 'auto')
     optimizer = cfg.optimizer if isinstance(cfg.optimizer, str) else 'auto'
     cfg = cfg._replace(metrics=metrics, loss=loss, optimizer=optimizer)
-    for field in ('dnn_params',):
-        params = dict(getattr(cfg, field))
-        if callable(params.get('custom_dnn_fn')):
-            params['custom_dnn_fn'] = None
-            cfg = cfg._replace(**{field: params})
     try:
         pickle.dumps(cfg)
     except Exception as e:  # pragma: no cover
@@ -298,6 +321,9 @@ class DeepModel:
     def __init__(self, task, num_classes, config, categorical_columns,
                  continuous_columns, model_file=None,
                  var_categorical_len_columns=None, custom_objects=None):
+        # must precede _load_weights: the rebuild resolves persisted
+        # custom-net / custom_dnn_fn names through the registry
+        deepnets.register_custom_objects(custom_objects)
         self.task = task
         self.num_classes = num_classes
         self.config = config
@@ -430,11 +456,25 @@ class DeepModel:
         loss_fn = self._loss_fn()
         stateful_loss = bool(getattr(loss_fn, 'stateful', False))
         tx = self._tx
+        # weight regularizer on the embedding tables (parity: reference
+        # layers.py:847,867 — embeddings_regularizer on each table). Applied
+        # over the packed physical tables; padding rows are never read so
+        # their (constant-at-init) contribution cannot affect the model.
+        emb_reg = regularizers_lib.get_regularizer(
+            self.config.embeddings_regularizer)
+
+        def embedding_weight_penalty(params):
+            pen = 0.0
+            for mod_name, sub in params.items():
+                if str(mod_name).startswith(consts.LAYER_PREFIX_EMBEDDING):
+                    for leaf in jax.tree_util.tree_leaves(sub):
+                        pen += emb_reg(leaf)
+            return pen
 
         def train_step(params, batch_stats, opt_state, loss_state,
                        batch, y, w, rng):
             def compute_loss(p):
-                (logits, _taps), mutated = module.apply(
+                (logits, taps), mutated = module.apply(
                     {'params': p, 'batch_stats': batch_stats}, batch,
                     training=True, rngs={'dropout': rng},
                     mutable=['batch_stats'])
@@ -442,6 +482,9 @@ class DeepModel:
                     loss, new_ls = loss_fn(logits, y, w, state=loss_state)
                 else:
                     loss, new_ls = loss_fn(logits, y, w), loss_state
+                loss = loss + taps.get('__embeddings_activity_reg__', 0.0)
+                if emb_reg is not None:
+                    loss = loss + embedding_weight_penalty(p)
                 return loss, (logits, mutated.get('batch_stats', {}), new_ls)
 
             (loss, (logits, new_bs, new_ls)), grads = jax.value_and_grad(
@@ -581,7 +624,9 @@ class DeepModel:
                 self.opt_state = opt_state
                 self.loss_state = loss_state
                 epoch_losses.append(loss)
-                if len(train_ys) * batch_size < 200_000:
+                metric_cap = self.config.train_metrics_sample_limit
+                if metric_cap is None or \
+                        len(train_ys) * batch_size < metric_cap:
                     # keep device arrays; defer host transfer to epoch end so
                     # the dispatch queue stays async (no per-step sync)
                     train_probas.append(probas_from_logits(logits, self.task))
@@ -774,13 +819,14 @@ class DeepModel:
     def evaluate(self, X_test, y_test, batch_size=256, verbose=0,
                  return_dict=True):
         logger.info('Performing evaluation...')
-        proba = self.predict(X_test, batch_size=batch_size)
         y_arr = pipeline.prepare_labels(y_test, self.task, self.num_classes)
         loss_fn = self._loss_fn()
         arrays = pipeline.extract_arrays(
             X_test, self.categorical_columns, self.continuous_columns,
             self.var_len_categorical_columns)
+        # one forward pass: loss from the logits, metrics from their probas
         logits = self._predict_logits(arrays, len(y_arr), batch_size)
+        proba = np.asarray(probas_from_logits(jnp.asarray(logits), self.task))
         result = {'loss': float(loss_fn(jnp.asarray(logits),
                                         jnp.asarray(y_arr)))}
         result.update(metrics_lib.compute_metrics(
@@ -826,7 +872,7 @@ class DeepModel:
             freeze(template), payload['variables']))
 
     @staticmethod
-    def load(filepath, config=None):
+    def load(filepath, config=None, custom_objects=None):
         with open(filepath, 'rb') as f:
             payload = pickle.load(f)
         meta = payload['meta']
@@ -835,7 +881,8 @@ class DeepModel:
                        meta['categorical_columns'],
                        meta['continuous_columns'],
                        var_categorical_len_columns=meta[
-                           'var_len_categorical_columns'])
+                           'var_len_categorical_columns'],
+                       custom_objects=custom_objects)
         template = dm.build()
         dm.variables = unfreeze(serialization.from_bytes(
             freeze(template), payload['variables']))

@@ -398,6 +398,9 @@ def dnn(x, params, cellname='dnn'):
     reference's Keras-layer outputs.
     """
     custom_dnn_fn = params.get('custom_dnn_fn')
+    if isinstance(custom_dnn_fn, str):
+        # persisted-by-name (save/load round-trip) — see register_custom_objects
+        custom_dnn_fn = get_custom_object(custom_dnn_fn)
     if custom_dnn_fn is not None:
         return custom_dnn_fn(x, params, cellname + '_custom')
 
@@ -481,12 +484,14 @@ def get(identifier):
     if identifier is None:
         raise ValueError('identifier can not be none.')
     if isinstance(identifier, str):
-        fn = custom_nets.get(identifier)
-        if fn is not None:
-            return fn
-        fn = _BUILTIN.get(identifier)
+        fn = custom_nets.get(identifier) or _BUILTIN.get(identifier) \
+            or dt_custom_objects.get(identifier)
         if fn is None:
-            raise ValueError(f'Unknown nets function: {identifier!r}')
+            raise ValueError(
+                f'Unknown nets function: {identifier!r}. If this model was '
+                f'saved with a custom net, re-register it with '
+                f'register_custom_objects(...) or pass custom_objects= to '
+                f'load().')
         return fn
     elif callable(identifier):
         register_nets(identifier)
@@ -519,3 +524,54 @@ def register_nets(nets_fn):
             f'{inspect.signature(linear)} but {inspect.signature(nets_fn)}')
     custom_nets[nets_fn.__name__] = nets_fn
     return nets_fn.__name__
+
+
+# ---------------------------------------------------------------------------
+# Custom-object registry for save/load round-trips.
+#
+# Parity with the reference's ``dt_custom_objects`` + ``register_custom_objects``
+# (deeptables/models/layers.py:1165-1186): models whose config carries custom
+# callables (net builders in ``config.nets``, ``dnn_params['custom_dnn_fn']``)
+# persist those callables *by name*; at load time the name is resolved through
+# this registry — loudly failing if the user has not re-registered the object.
+# ---------------------------------------------------------------------------
+dt_custom_objects = {}
+
+
+def register_custom_objects(objects):
+    """Register custom callables so saved models can resolve them at load.
+
+    ``objects`` may be a dict ``{name: callable}``, a single callable, or an
+    iterable of callables (named by ``__name__``).  Callables whose signature
+    matches the net-builder contract are additionally registered as nets.
+    """
+    if objects is None:
+        return
+    if callable(objects):
+        objects = [objects]
+    items = objects.items() if isinstance(objects, dict) else \
+        [(getattr(o, '__name__', None), o) for o in objects]
+    for name, obj in items:
+        if not name or name == '<lambda>' or not callable(obj):
+            raise ValueError(
+                f'Custom objects must be named callables (got name={name!r}, '
+                f'obj={obj!r}); lambdas cannot round-trip save/load.')
+        dt_custom_objects[name] = obj
+        try:
+            register_nets(obj)
+        except ValueError:
+            pass  # not a net builder — registry entry alone is enough
+
+
+def get_custom_object(name):
+    """Resolve a persisted custom-object name; raises if unregistered."""
+    fn = dt_custom_objects.get(name) or custom_nets.get(name)
+    if fn is None:
+        fn = globals().get(name)  # builtins like custom_dnn_D_A_D_B
+    if fn is None or not callable(fn):
+        raise ValueError(
+            f'Unknown custom object {name!r}: this model was saved with a '
+            f'custom callable. Re-register it with '
+            f'deeptables_tpu.models.register_custom_objects(...) or pass '
+            f'custom_objects={{{name!r}: fn}} to load().')
+    return fn

@@ -483,6 +483,7 @@ class DeepTable:
 
     @staticmethod
     def load(filepath, custom_objects=None):
+        deepnets.register_custom_objects(custom_objects)
         with open(os.path.join(filepath, 'dt.pkl'), 'rb') as f:
             dt = pickle.load(f)
             dt.restore_modelset(filepath, custom_objects=custom_objects)
@@ -493,7 +494,8 @@ class DeepTable:
             if isinstance(mi.model, str):
                 modelfile = os.path.split(mi.model)[-1]
                 mi.model = self.load_deepmodel(
-                    os.path.join(filepath, modelfile))
+                    os.path.join(filepath, modelfile),
+                    custom_objects=custom_objects)
 
     def load_deepmodel(self, filepath, custom_objects=None):
         if os.path.exists(filepath):
@@ -503,7 +505,8 @@ class DeepTable:
                            self.preprocessor.continuous_columns,
                            model_file=filepath,
                            var_categorical_len_columns=
-                           self.preprocessor.var_len_categorical_columns)
+                           self.preprocessor.var_len_categorical_columns,
+                           custom_objects=custom_objects)
             return dm
         raise ValueError(f'Invalid model filename:{filepath}.')
 

@@ -47,19 +47,17 @@ def auc(y_true, proba):
     if n_pos == 0 or n_neg == 0:
         return 0.5
     order = np.argsort(p, kind='mergesort')
-    ranks = np.empty(len(p), dtype=np.float64)
     sorted_p = p[order]
-    # average ranks for ties
-    ranks_sorted = np.arange(1, len(p) + 1, dtype=np.float64)
-    i = 0
-    while i < len(p):
-        j = i
-        while j + 1 < len(p) and sorted_p[j + 1] == sorted_p[i]:
-            j += 1
-        if j > i:
-            ranks_sorted[i:j + 1] = (i + 1 + j + 1) / 2.0
-        i = j + 1
-    ranks[order] = ranks_sorted
+    # vectorized average ranks for ties: each tie group [start, stop) gets
+    # the mean of its 1-based rank range
+    boundaries = np.flatnonzero(np.diff(sorted_p)) + 1
+    starts = np.concatenate([[0], boundaries])
+    stops = np.concatenate([boundaries, [len(p)]])
+    group_rank = (starts + 1 + stops) / 2.0  # mean of ranks start+1..stop
+    group_ids = np.cumsum(np.concatenate(
+        [[0], (np.diff(sorted_p) != 0).astype(np.int64)]))
+    ranks = np.empty(len(p), dtype=np.float64)
+    ranks[order] = group_rank[group_ids]
     return float((ranks[pos].sum() - n_pos * (n_pos + 1) / 2.0)
                  / (n_pos * n_neg))
 

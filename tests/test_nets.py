@@ -116,3 +116,47 @@ class TestSingleColumnEdgeCases:
         # a single embedding field -> the net returns None -> no logits
         with pytest.raises(ValueError, match='Unexpected logit output'):
             run_nets([net], df, y)
+
+
+def test_custom_objects_save_load_roundtrip(data, tmp_path):
+    """Save a model built with a custom net + custom_dnn_fn, clear the
+    registries, assert load fails loudly, then re-register (via the
+    custom_objects kwarg) and assert identical predictions (parity with
+    reference tests/models/nets_test.py:141-164)."""
+    df, y = data
+    from flax import linen as nn
+    from deeptables_tpu.models import DeepTable as DT
+
+    def my_roundtrip_net(embeddings, flatten_emb_layer, dense_layer,
+                         concat_emb_dense, config, model_desc):
+        out = nn.Dense(6, name='rt_custom_dense')(concat_emb_dense)
+        model_desc.add_net('rt_custom', tuple(concat_emb_dense.shape),
+                           tuple(out.shape))
+        return out
+
+    def my_dnn_fn(x, params, cellname):
+        return nn.Dense(12, name=f'{cellname}_d1')(nn.relu(
+            nn.Dense(24, name=f'{cellname}_d0')(x)))
+
+    dt = run_nets(['linear', my_roundtrip_net, 'dnn_nets'], df, y,
+                  dnn_params={'custom_dnn_fn': my_dnn_fn})
+    proba_before = dt.predict_proba(df.head(64))
+    path = str(tmp_path / 'custom_dt')
+    dt.save(path)
+
+    deepnets.custom_nets.pop('my_roundtrip_net', None)
+    deepnets.dt_custom_objects.pop('my_roundtrip_net', None)
+    deepnets.dt_custom_objects.pop('my_dnn_fn', None)
+
+    with pytest.raises(ValueError, match='custom'):
+        DT.load(path)
+
+    dt2 = DT.load(path, custom_objects={'my_roundtrip_net': my_roundtrip_net,
+                                        'my_dnn_fn': my_dnn_fn})
+    proba_after = dt2.predict_proba(df.head(64))
+    np.testing.assert_allclose(proba_before, proba_after, rtol=1e-5)
+
+    # cleanup so other tests see a pristine registry
+    deepnets.custom_nets.pop('my_roundtrip_net', None)
+    deepnets.dt_custom_objects.pop('my_roundtrip_net', None)
+    deepnets.dt_custom_objects.pop('my_dnn_fn', None)
