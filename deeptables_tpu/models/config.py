@@ -136,6 +136,10 @@ class ModelConfig:
     embedding_device_strategy: str = 'replicated'
     # 'replicated' | 'sharded' (XLA-partitioned gather + psum)
     # | 'sharded_a2a' (explicit shard_map all-to-all row exchange)
+    # Per-shard request capacity for 'sharded_a2a'. None (default) = exact
+    # for any id skew; a number (MoE-style capacity factor) bounds the
+    # exchange buffers and may DROP overflow ids (logged at runtime).
+    embedding_a2a_capacity_factor: Any = None
     dtype_policy: str = 'float32'  # 'float32' | 'bfloat16'
     learning_rate: float = 0.001
     seed: int = 9527

@@ -93,6 +93,7 @@ class DeepTabularModel(nn.Module):
                     not config.embedding_device_strategy.startswith(
                         'sharded')),
                 a2a_mesh=a2a_mesh,
+                a2a_capacity_factor=config.embedding_a2a_capacity_factor,
                 name=consts.LAYER_PREFIX_EMBEDDING + 'categorical_vars_all',
             )(batch[pipeline.CAT_KEY], training=training)
             model_desc.set_embeddings(list(input_dims), list(output_dims),

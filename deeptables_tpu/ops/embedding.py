@@ -343,7 +343,9 @@ class MultiColumnEmbedding(nn.Module):
     # parallel.sharded_embedding.sharded_lookup_a2a instead of relying on
     # XLA's SPMD partitioning of the plain gather.
     a2a_mesh: Any = None
-    a2a_capacity_factor: float = 2.0
+    # None = exact (worst-case skew capacity); a number opts into MoE-style
+    # capacity bounding with logged drops — see sharded_lookup_a2a.
+    a2a_capacity_factor: Any = None
 
     @nn.compact
     def __call__(self, ids, training: bool = False):

@@ -93,8 +93,16 @@ def _dispatch_plan(flat_ids, n_shards, capacity, rows_per_shard):
     return send_ids, order, sorted_owner, slot_pos, keep
 
 
+def _log_capacity_drops(count):  # host callback from the jitted kernel
+    from ..utils import dt_logging
+    dt_logging.get_logger(__name__).warning(
+        f'sharded_lookup_a2a: {int(count)} ids exceeded the per-shard '
+        f'capacity and were dropped (zero rows, zero gradient). Raise '
+        f'capacity_factor (None = exact) to avoid silent quality loss.')
+
+
 def sharded_lookup_a2a(table: jax.Array, ids: jax.Array, mesh: Mesh,
-                       capacity_factor: float = 2.0, dim: int = None):
+                       capacity_factor: float = None, dim: int = None):
     """Row-sharded lookup via explicit all-to-all exchange (DLRM-style).
 
     The psum formulation (:func:`sharded_lookup`) makes every model shard
@@ -118,8 +126,15 @@ def sharded_lookup_a2a(table: jax.Array, ids: jax.Array, mesh: Mesh,
 
     table: (V_packed, W) row-sharded on MODEL_AXIS; ids: (B, F) logical ids,
     data-sharded.  Returns (B, F, dim) data-sharded, replicated over
-    MODEL_AXIS.  Ids overflowing a shard's capacity yield zero rows (and
-    zero table gradient); ``capacity_factor >= n_shards`` is exact.
+    MODEL_AXIS.
+
+    ``capacity_factor=None`` (the default) sizes every shard's request
+    buffer for the worst case (all of a stripe's ids owned by one shard) —
+    the lookup is **exact** for any id skew.  Passing a number is an
+    explicit opt-in to MoE-style capacity bounding: each shard accepts at
+    most ``ceil(stripe/n_shards) * capacity_factor`` requests; ids beyond
+    that yield zero rows *and zero table gradient*, and a warning with the
+    drop count is logged from inside the jitted step whenever drops occur.
     """
     n_model = mesh.shape[MODEL_AXIS]
     w = table.shape[1]
@@ -135,8 +150,12 @@ def sharded_lookup_a2a(table: jax.Array, ids: jax.Array, mesh: Mesh,
         B += pad_b
     n_local = (B // n_data) * F
     stripe = -(-n_local // n_model)
-    capacity = int(min(stripe, max(1, -(-stripe // n_model) *
-                                   max(1.0, capacity_factor))))
+    if capacity_factor is None:
+        capacity = stripe  # exact: worst-case skew fits
+    else:
+        capacity = int(min(stripe, max(1, -(-stripe // n_model) *
+                                       max(1.0, capacity_factor))))
+    count_drops = capacity < stripe
 
     def kernel(local_table, local_ids):
         me = jax.lax.axis_index(MODEL_AXIS)
@@ -149,6 +168,13 @@ def sharded_lookup_a2a(table: jax.Array, ids: jax.Array, mesh: Mesh,
 
         send_ids, order, slot_owner, slot_pos, keep = _dispatch_plan(
             my_ids, n_model, capacity, rows_local * k)
+        if count_drops:  # sub-exact capacity opt-in: surface silent drops
+            n_dropped = jax.lax.psum(jnp.sum(~keep), MODEL_AXIS)
+            is_first = jax.lax.axis_index(MODEL_AXIS) == 0
+            jax.lax.cond(
+                jnp.logical_and(n_dropped > 0, is_first),
+                lambda c: jax.debug.callback(_log_capacity_drops, c),
+                lambda c: None, n_dropped)
         # ids out: (S, C) → row s lands on shard s
         recv_ids = jax.lax.all_to_all(send_ids, MODEL_AXIS, split_axis=0,
                                       concat_axis=0, tiled=False)

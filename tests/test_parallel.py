@@ -167,6 +167,55 @@ class TestShardedLookupA2A:
             jnp.asarray(dense), jnp.asarray(ids))
         np.testing.assert_allclose(np.asarray(out), dense[ids], rtol=1e-6)
 
+    def test_skewed_ids_model4_default_exact(self):
+        """Worst-case skew on a model_parallel=4 mesh: every id owned by
+        shard 0. The default (capacity_factor=None) must be exact — values
+        AND gradients match the dense oracle."""
+        from deeptables_tpu.parallel.sharded_embedding import \
+            sharded_lookup_a2a
+        mesh = build_mesh(data_parallel=2, model_parallel=4)
+        rng = np.random.default_rng(7)
+        dense = jnp.asarray(rng.normal(size=(128, 8)).astype(np.float32))
+        # vocab 128 over 4 shards → shard 0 owns rows [0, 32)
+        ids = jnp.asarray(rng.integers(0, 32, (16, 6)).astype(np.int32))
+        w = jnp.asarray(rng.normal(size=(16, 6, 8)).astype(np.float32))
+
+        out = jax.jit(lambda t, i: sharded_lookup_a2a(t, i, mesh))(dense, ids)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(dense)[np.asarray(ids)],
+                                   rtol=1e-6)
+
+        def loss_a2a(t):
+            return jnp.sum(sharded_lookup_a2a(t, ids, mesh) * w)
+
+        def loss_dense(t):
+            return jnp.sum(jnp.take(t, ids, axis=0) * w)
+
+        g = jax.jit(jax.grad(loss_a2a))(dense)
+        g_ref = jax.grad(loss_dense)(dense)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_sub_exact_capacity_drops_are_zeros(self):
+        """Opt-in capacity bounding: under worst-case skew with a tiny
+        capacity factor some rows come back zero (documented drop
+        semantics) — and exact rows are untouched."""
+        from deeptables_tpu.parallel.sharded_embedding import \
+            sharded_lookup_a2a
+        mesh = build_mesh(data_parallel=2, model_parallel=4)
+        rng = np.random.default_rng(11)
+        # make all rows nonzero so dropped slots are identifiable
+        dense = jnp.asarray(
+            rng.uniform(1.0, 2.0, size=(128, 4)).astype(np.float32))
+        ids = jnp.asarray(rng.integers(0, 32, (16, 6)).astype(np.int32))
+        out = np.asarray(jax.jit(lambda t, i: sharded_lookup_a2a(
+            t, i, mesh, capacity_factor=1.0))(dense, ids))
+        expected = np.asarray(dense)[np.asarray(ids)]
+        row_is_zero = (out == 0).all(axis=-1)
+        assert row_is_zero.any(), 'expected capacity drops under skew'
+        np.testing.assert_allclose(out[~row_is_zero], expected[~row_is_zero],
+                                   rtol=1e-6)
+
     def test_gradient_matches_oracle(self):
         from deeptables_tpu.parallel.sharded_embedding import \
             sharded_lookup_a2a
