@@ -1,14 +1,21 @@
 # -*- coding:utf-8 -*-
 """Model-zoo throughput + accuracy benchmark harness.
 
-Covers the BASELINE.md configs:
-1. DeepFM on bank-marketing (accuracy)
-2. Wide&Deep + DCN on Adult (accuracy)
-3. xDeepFM/CIN on Criteo sample (throughput + accuracy)
-4. AutoInt on Avazu (throughput + accuracy)
+Covers the BASELINE.json single-chip configs:
+1. DeepFM on Criteo-style (26 cat + 13 dense)
+2. Wide&Deep + DCN cross-net on Adult-style (8 cat + 6 dense)
+3. xDeepFM with CIN 128x128 on Criteo-style (+ a Pallas-CIN variant)
+4. AutoInt (3 blocks, 2 heads) on Avazu-style (22 cat)
+
+Throughput uses the pipelined-fetch scan-chunk methodology (see
+benchmarks/timing.py) — the same measurement discipline as bench.py — and
+records XLA's own per-step cost analysis (flops, bytes accessed) plus a
+roofline statement (which bound each config hits and what fraction of it
+the measured step achieves).
 
 Usage: python benchmarks/bench_models.py [quality|throughput|all]
-Prints one JSON line per measurement.
+Prints one JSON line per measurement and writes
+benchmarks/results_models.json.
 """
 
 import json
@@ -20,9 +27,16 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from benchmarks import timing  # noqa: E402
+
+_OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    'results_models.json')
+
 
 def _throughput_for(nets, cat, dense, y, vocab_sizes, emb_dim=16,
                     batch_size=8192, bench_seconds=5.0, dtype='bfloat16',
+                    steps_per_chunk=512, dnn_units=((1024, 0, False),
+                                                    (512, 0, False)),
                     **config_kw):
     import jax
     import optax
@@ -36,6 +50,7 @@ def _throughput_for(nets, cat, dense, y, vocab_sizes, emb_dim=16,
     config = ModelConfig(
         nets=nets, metrics=['AUC'], task='binary', embedding_dropout=0,
         embeddings_output_dim=emb_dim, dtype_policy=dtype,
+        dnn_params={'hidden_units': tuple(dnn_units), 'activation': 'relu'},
         home_dir='/tmp/dt_bench', **config_kw)
     cat_cols = tuple(CategoricalColumn(f'C{i + 1}', int(v) + 1, emb_dim)
                      for i, v in enumerate(vocab_sizes))
@@ -46,13 +61,22 @@ def _throughput_for(nets, cat, dense, y, vocab_sizes, emb_dim=16,
             [f'I{i + 1}' for i in range(dense.shape[1])]),)
     model = DeepModel('binary', 2, config, cat_cols, cont_cols)
 
-    def mk_batch(sl):
-        b = {'cat': cat[sl]}
-        if dense is not None:
-            b['input_continuous_all'] = dense[sl]
-        return b
+    n_batches = min(len(y) // batch_size, 8)
 
-    model.build(sample_batch=mk_batch(slice(0, 2)))
+    def mk_stack():
+        b = {'cat': jax.device_put(
+            cat[:n_batches * batch_size].reshape(n_batches, batch_size, -1))}
+        if dense is not None:
+            b['input_continuous_all'] = jax.device_put(
+                dense[:n_batches * batch_size].reshape(
+                    n_batches, batch_size, -1))
+        return b, jax.device_put(
+            y[:n_batches * batch_size].reshape(n_batches, batch_size))
+
+    sample = {'cat': cat[:2]}
+    if dense is not None:
+        sample['input_continuous_all'] = dense[:2]
+    model.build(sample_batch=sample)
     tx = optax.adam(1e-3)
     model._tx = tx
     opt_state = jax.jit(tx.init)(model.variables['params'])
@@ -72,76 +96,93 @@ def _throughput_for(nets, cat, dense, y, vocab_sizes, emb_dim=16,
         updates, new_opt = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_bs, new_opt, loss
 
-    step = jax.jit(train_step, donate_argnums=(0, 1, 2))
-    n_batches = len(y) // batch_size
-    batches = []
-    for i in range(min(n_batches, 8)):
-        sl = slice(i * batch_size, (i + 1) * batch_size)
-        batches.append((
-            {k: jax.device_put(v) for k, v in mk_batch(sl).items()},
-            jax.device_put(y[sl])))
-
+    chunk = timing.make_train_chunk(train_step, n_batches, steps_per_chunk)
+    chunk_jit = jax.jit(chunk, donate_argnums=(0, 1, 2))
+    stacked = mk_stack()
     params = model.variables['params']
     bstats = model.variables.get('batch_stats', {})
     rng = jax.random.PRNGKey(0)
-    for i in range(10):
-        b, yb = batches[i % len(batches)]
-        params, bstats, opt_state, loss = step(params, bstats, opt_state,
-                                               b, yb, rng)
-    jax.block_until_ready(loss)
-    steps = 0
-    t0 = time.perf_counter()
-    while True:
-        b, yb = batches[steps % len(batches)]
-        params, bstats, opt_state, loss = step(params, bstats, opt_state,
-                                               b, yb, rng)
-        steps += 1
-        if steps % 20 == 0:
-            jax.block_until_ready(loss)
-            if time.perf_counter() - t0 >= bench_seconds:
-                break
-    jax.block_until_ready(loss)
-    elapsed = time.perf_counter() - t0
-    return steps * batch_size / elapsed
+
+    cost = timing.chunk_cost_analysis(chunk_jit, params, bstats, opt_state,
+                                      stacked, rng, steps_per_chunk)
+    res = timing.measure_chunked(chunk_jit, params, bstats, opt_state,
+                                 stacked, rng, batch_size, steps_per_chunk,
+                                 bench_seconds)
+    out = {'examples_per_sec': round(res['examples_per_sec'], 1),
+           'step_ms': round(res['step_seconds'] * 1e3, 4),
+           'batch_size': batch_size, 'finite': res['finite']}
+    if cost:
+        out['flops_per_step'] = cost['flops']
+        out['bytes_per_step'] = cost['bytes']
+        rl = timing.roofline(res['step_seconds'], cost['flops'],
+                             cost['bytes'])
+        if rl.get('known_peaks'):
+            out['roofline'] = {
+                'device': rl['device_kind'],
+                'mxu_bound_ms': round(rl['mxu_bound_ms'], 4),
+                'hbm_bound_ms': round(rl['hbm_bound_ms'], 4),
+                'bound': rl['bound'],
+                'fraction_of_roofline': round(rl['roofline_fraction'], 3),
+            }
+    return out
 
 
 def bench_throughput():
     from deeptables_tpu.data.datasets import (load_avazu_synthetic,
                                               load_criteo_synthetic)
+    rng = np.random.default_rng(0)
     results = {}
+
+    def emit(name, r):
+        results[name] = r
+        print(json.dumps({'metric': f'{name}_examples_per_sec', **r}),
+              flush=True)
 
     cat, dense, y, vocab_sizes = load_criteo_synthetic(
         n_rows=8192 * 8, return_arrays=True)
-    for name, nets in [
-            ('deepfm', ['linear', 'fm_nets', 'dnn_nets']),
-            ('xdeepfm', ['linear', 'cin_nets', 'dnn_nets']),
-            ('autoint', ['autoint_nets'])]:
-        kw = {}
-        if name == 'xdeepfm':
-            kw['cin_params'] = {'cross_layer_size': (128, 128),
-                                'activation': 'relu'}
-        if name == 'autoint':
-            kw['autoint_params'] = {'num_attention': 3, 'num_heads': 2,
-                                    'dropout_rate': 0, 'use_residual': True}
-        eps = _throughput_for(nets, cat, dense, y, vocab_sizes, **kw)
-        results[f'criteo_{name}'] = eps
-        print(json.dumps({'metric': f'criteo_{name}_examples_per_sec',
-                          'value': round(eps, 1), 'unit': 'examples/s'}))
 
+    # 1. DeepFM / criteo
+    emit('criteo_deepfm', _throughput_for(
+        ['linear', 'fm_nets', 'dnn_nets'], cat, dense, y, vocab_sizes))
+
+    # 3. xDeepFM / criteo (CIN 128x128) — einsum and Pallas variants
+    cin = {'cross_layer_size': (128, 128), 'activation': 'relu'}
+    emit('criteo_xdeepfm', _throughput_for(
+        ['linear', 'cin_nets', 'dnn_nets'], cat, dense, y, vocab_sizes,
+        cin_params=dict(cin)))
+    emit('criteo_xdeepfm_pallas_cin', _throughput_for(
+        ['linear', 'cin_nets', 'dnn_nets'], cat, dense, y, vocab_sizes,
+        cin_params=dict(cin, use_pallas=True)))
+
+    # 2. Wide&Deep + DCN / adult-style (8 cat of modest vocab + 6 dense)
+    adult_vocabs = np.asarray([9, 16, 7, 15, 6, 5, 2, 42], np.int64)
+    n = 8192 * 8
+    cat_ad = np.stack([rng.integers(0, v, n) for v in adult_vocabs],
+                      axis=1).astype(np.int32)
+    dense_ad = rng.normal(size=(n, 6)).astype(np.float32)
+    y_ad = rng.integers(0, 2, n).astype(np.float32)
+    emit('adult_widedeep_dcn', _throughput_for(
+        ['linear', 'dnn_nets', 'dcn_nets'], cat_ad, dense_ad, y_ad,
+        adult_vocabs - 1))
+
+    # 4. AutoInt / avazu-style (22 cat)
     df = load_avazu_synthetic(8192 * 8)
     y_av = df.pop('click').to_numpy(np.float32)
     cat_av = df.to_numpy(np.int64)
     vocabs = cat_av.max(axis=0) + 1
-    eps = _throughput_for(['autoint_nets'], cat_av.astype(np.int32), None,
-                          y_av, vocabs)
-    results['avazu_autoint'] = eps
-    print(json.dumps({'metric': 'avazu_autoint_examples_per_sec',
-                      'value': round(eps, 1), 'unit': 'examples/s'}))
+    emit('avazu_autoint', _throughput_for(
+        ['autoint_nets'], cat_av.astype(np.int32), None, y_av, vocabs,
+        autoint_params={'num_attention': 3, 'num_heads': 2,
+                        'dropout_rate': 0, 'use_residual': True}))
+
+    with open(_OUT, 'w') as f:
+        json.dump({'method': 'pipelined-fetch scan-chunk (benchmarks/timing)',
+                   'throughput': results}, f, indent=1)
+    print(f'wrote {_OUT}', flush=True)
     return results
 
 
 def bench_quality():
-    import pandas as pd
     from sklearn.model_selection import train_test_split
 
     from deeptables_tpu.data.datasets import (load_adult, load_bank,
@@ -167,7 +208,7 @@ def bench_quality():
         print(json.dumps({'metric': f'{name}_auc',
                           'value': round(score['AUC'], 4),
                           'logloss': round(score['logloss'], 4),
-                          'fit_seconds': round(fit_s, 1)}))
+                          'fit_seconds': round(fit_s, 1)}), flush=True)
 
     run('bank_deepfm', load_bank(20000),
         'y', ['linear', 'fm_nets', 'dnn_nets'])

@@ -144,15 +144,211 @@ class StreamingDataLoader:
                     yield item
 
 
-def fit_preprocessor_streaming(preprocessor, source: ChunkedSource,
-                               target: str, sample_rows: int = 500_000):
-    """Fit a DefaultPreprocessor on a bounded sample of the stream.
+class ColumnStats:
+    """Streaming sufficient statistics for one column (one pass).
 
-    The reference's Dask preprocessor computes exact statistics on the
-    cluster; with a single-host stream the fit statistics (vocabularies,
-    means, bins) come from the first ``sample_rows`` rows — unseen categories
-    at transform time route to the reserved unseen bucket.
+    Exact: dtype resolution, row/non-null counts, unique values (uncapped
+    for categorical-dtype columns — the embedding vocabulary needs them all
+    anyway), has-NaN flag, sum/min/max of numeric values, and a
+    value→count table for quantile binning.  When a numeric column's
+    distinct count exceeds ``vc_cap`` the value-count table degrades to a
+    bounded uniform reservoir (bottom-k sketch) and quantile bins become
+    sketch-based (logged).
     """
+
+    def __init__(self, unique_cap=2_000_000, vc_cap=200_000,
+                 reservoir_size=100_000, seed=0):
+        self.unique_cap = unique_cap
+        self.vc_cap = vc_cap
+        self.reservoir_size = reservoir_size
+        self._rng = np.random.default_rng(seed)
+        self.dtypes = set()
+        self.has_nan = False
+        self.uniques = set()
+        self.unique_overflow = False
+        self.n_nonnull_num = 0
+        self.sum_ = 0.0
+        self.min_ = np.inf
+        self.max_ = -np.inf
+        self.vc: dict = {}
+        self.vc_overflow = False
+        self._res_keys = None
+        self._res_vals = None
+        # var-len extras (filled only for configured var-len columns)
+        self.tokens = None
+        self.max_token_len = 0
+
+    @property
+    def resolved_dtype(self) -> str:
+        if any(_is_cat_dtype(d) for d in self.dtypes):
+            return 'object'
+        if any(d.startswith('float') for d in self.dtypes):
+            return 'float64'
+        return 'int64'
+
+    @property
+    def is_categorical_dtype(self) -> bool:
+        return self.resolved_dtype == 'object'
+
+    @property
+    def nunique(self) -> int:
+        return len(self.uniques) if not self.unique_overflow \
+            else self.unique_cap
+
+    @property
+    def mean(self) -> float:
+        return self.sum_ / self.n_nonnull_num if self.n_nonnull_num else 0.0
+
+    def update(self, col: pd.Series, var_len_sep: Optional[str] = None):
+        self.dtypes.add(str(col.dtype))
+        nonnull = col.dropna()
+        if len(nonnull) < len(col):
+            self.has_nan = True
+        if not self.unique_overflow:
+            self.uniques.update(pd.unique(nonnull))
+            if len(self.uniques) > self.unique_cap \
+                    and not self.is_categorical_dtype:
+                # numeric high-cardinality: only the count bound is needed
+                self.unique_overflow = True
+                self.uniques = set()
+        if var_len_sep is not None:
+            if self.tokens is None:
+                self.tokens = set()
+            for v in nonnull.astype(str):
+                parts = [p for p in v.split(var_len_sep) if p != '']
+                self.tokens.update(parts)
+                self.max_token_len = max(self.max_token_len, len(parts))
+            return
+        if self.is_categorical_dtype:
+            return
+        vals = pd.to_numeric(nonnull, errors='coerce').dropna()
+        arr = vals.to_numpy(np.float64)
+        if arr.size:
+            self.n_nonnull_num += arr.size
+            self.sum_ += float(arr.sum())
+            self.min_ = min(self.min_, float(arr.min()))
+            self.max_ = max(self.max_, float(arr.max()))
+            self._update_vc(arr)
+
+    def _update_vc(self, arr):
+        if not self.vc_overflow:
+            uq, cnt = np.unique(arr, return_counts=True)
+            for v, c in zip(uq, cnt):
+                self.vc[v] = self.vc.get(v, 0) + int(c)
+            if len(self.vc) > self.vc_cap:
+                # degrade to a bounded uniform sample of the values
+                vals = np.fromiter(self.vc.keys(), np.float64, len(self.vc))
+                cnts = np.fromiter(self.vc.values(), np.float64, len(self.vc))
+                take = self._rng.choice(
+                    vals, size=self.reservoir_size, p=cnts / cnts.sum())
+                self._res_keys = self._rng.random(self.reservoir_size)
+                self._res_vals = take
+                self.vc_overflow = True
+                self.vc = {}
+        else:
+            keys = np.concatenate([self._res_keys,
+                                   self._rng.random(arr.size)])
+            vals = np.concatenate([self._res_vals, arr])
+            order = np.argsort(keys)[:self.reservoir_size]
+            self._res_keys, self._res_vals = keys[order], vals[order]
+
+    def quantile_distribution(self, impute_value=None, scale=None):
+        """(sorted values, counts) of the post-imputation (and optionally
+        min-max scaled) distribution for quantile binning."""
+        if not self.vc_overflow:
+            vc = dict(self.vc)
+        else:
+            uq, cnt = np.unique(self._res_vals, return_counts=True)
+            vc = dict(zip(uq.tolist(), cnt.tolist()))
+        if impute_value is not None and getattr(self, 'n_nan', 0):
+            # NaNs were replaced by the impute value during transform
+            vc[impute_value] = vc.get(impute_value, 0) + self.n_nan
+        values = np.array(sorted(vc), np.float64)
+        counts = np.array([vc[v] for v in sorted(vc)], np.int64)
+        if scale is not None:
+            mn, sc = scale
+            values = (values - mn) * sc
+        return values, counts
+
+
+def _is_cat_dtype(d: str) -> bool:
+    d = d.lower()
+    return d.startswith(('object', 'str', 'category', 'bool'))
+
+
+class YStats:
+    def __init__(self):
+        self.uniques = set()
+        self.n_rows = 0
+        self.dtypes = set()
+
+    def update(self, y: pd.Series):
+        if y.isna().any():
+            raise ValueError('Missing values in y.')
+        self.uniques.update(pd.unique(y))
+        self.n_rows += len(y)
+        self.dtypes.add(y.dtype.kind)
+
+
+def collect_streaming_stats(source: ChunkedSource, target: str, config,
+                            unique_cap=2_000_000, vc_cap=200_000,
+                            reservoir_size=100_000, seed=0):
+    """One pass over the stream: per-column sufficient statistics + y stats.
+
+    Returns ``(col_stats: OrderedDict[str, ColumnStats], y_stats, n_rows)``.
+    """
+    import collections as _collections
+    var_len_seps = {}
+    for v in (config.var_len_categorical_columns or ()):
+        var_len_seps[v[0]] = v[1]
+    col_stats = _collections.OrderedDict()
+    y_stats = YStats()
+    n_rows = 0
+    nan_counts = {}
+    for chunk in source.iter_chunks():
+        y_stats.update(chunk[target])
+        X = chunk.drop(columns=[target])
+        n_rows += len(X)
+        for c in X.columns:
+            st = col_stats.get(c)
+            if st is None:
+                st = col_stats[c] = ColumnStats(
+                    unique_cap=unique_cap, vc_cap=vc_cap,
+                    reservoir_size=reservoir_size, seed=seed)
+            st.update(X[c], var_len_sep=var_len_seps.get(c))
+            nan_counts[c] = nan_counts.get(c, 0) \
+                + int(X[c].isna().sum())
+    for c, st in col_stats.items():
+        st.n_nan = nan_counts.get(c, 0)
+    return col_stats, y_stats, n_rows
+
+
+def fit_preprocessor_streaming(preprocessor, source: ChunkedSource,
+                               target: str, sample_rows: int = 500_000,
+                               exact: bool = True):
+    """Fit a DefaultPreprocessor over an out-of-core stream.
+
+    ``exact=True`` (default): a one-pass statistics collection
+    (:func:`collect_streaming_stats`) followed by
+    :meth:`DefaultPreprocessor.fit_from_stats` — vocabularies, imputation
+    means, min/max and quantile bins match an in-memory ``fit_transform``
+    over the concatenated stream (quantile bins degrade to a bounded sketch
+    only above ``vc_cap`` distinct values; logged).  This supersedes the
+    round-2 first-``sample_rows`` fit and mirrors the reference Dask
+    preprocessor's exact cluster statistics
+    (``/root/reference/deeptables/models/preprocessor.py:518-598``).
+
+    ``exact=False`` (or configs needing trained sub-models, i.e.
+    ``apply_gbm_features``): fit on the first ``sample_rows`` rows.
+    """
+    if exact and not preprocessor.config.apply_gbm_features:
+        col_stats, y_stats, n_rows = collect_streaming_stats(
+            source, target, preprocessor.config)
+        preprocessor.fit_from_stats(col_stats, y_stats, n_rows)
+        return preprocessor
+    if exact:
+        logger.info('apply_gbm_features needs a trained GBM; falling back '
+                    'to the sample-based streaming fit.')
     sample = source.sample(sample_rows)
     y = sample[target]
     X = sample.drop(columns=[target])

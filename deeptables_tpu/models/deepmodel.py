@@ -784,8 +784,32 @@ class DeepModel:
                             for k, v in tap_chunks.items()}
         return logits
 
+    @staticmethod
+    def _is_batch_loader(X):
+        """A StreamingDataLoader-like out-of-core batch source."""
+        return hasattr(X, 'steps') and hasattr(X, '__iter__') \
+            and not hasattr(X, 'iloc')
+
+    def _loader_logits(self, loader):
+        """One pass over a streaming loader → (logits, y) host arrays."""
+        eval_step = self._get_jitted('eval', self._make_eval_step)
+        logits_parts, y_parts = [], []
+        for batch, yb, _wb, valid in loader:
+            batch, _, _ = self._place_batch(batch)
+            logits, _ = eval_step(self.variables, batch)
+            logits_parts.append(np.asarray(logits[:valid]))
+            if yb is not None:
+                y_parts.append(np.asarray(yb[:valid]))
+        logits = np.concatenate(logits_parts)
+        y = np.concatenate(y_parts) if y_parts else None
+        return logits, y
+
     def predict(self, X, batch_size=128, verbose=0):
         logger.info('Performing predictions...')
+        if self._is_batch_loader(X):
+            logits, _ = self._loader_logits(X)
+            return np.asarray(probas_from_logits(jnp.asarray(logits),
+                                                 self.task))
         arrays = pipeline.extract_arrays(
             X, self.categorical_columns, self.continuous_columns,
             self.var_len_categorical_columns)
@@ -817,16 +841,25 @@ class DeepModel:
             return [transformer.fit_transform(o) for o in outputs]
         return transformer.fit_transform(outputs)
 
-    def evaluate(self, X_test, y_test, batch_size=256, verbose=0,
+    def evaluate(self, X_test, y_test=None, batch_size=256, verbose=0,
                  return_dict=True):
         logger.info('Performing evaluation...')
-        y_arr = pipeline.prepare_labels(y_test, self.task, self.num_classes)
         loss_fn = self._loss_fn()
-        arrays = pipeline.extract_arrays(
-            X_test, self.categorical_columns, self.continuous_columns,
-            self.var_len_categorical_columns)
-        # one forward pass: loss from the logits, metrics from their probas
-        logits = self._predict_logits(arrays, len(y_arr), batch_size)
+        if self._is_batch_loader(X_test):
+            # out-of-core: one pass over a streaming loader (labels ride
+            # along with the batches; y_test must be None)
+            logits, y_arr = self._loader_logits(X_test)
+            if y_arr is None:
+                raise ValueError('streaming evaluate needs a loader that '
+                                 'yields labels.')
+        else:
+            y_arr = pipeline.prepare_labels(y_test, self.task,
+                                            self.num_classes)
+            arrays = pipeline.extract_arrays(
+                X_test, self.categorical_columns, self.continuous_columns,
+                self.var_len_categorical_columns)
+            # one forward pass: loss from logits, metrics from their probas
+            logits = self._predict_logits(arrays, len(y_arr), batch_size)
         proba = np.asarray(probas_from_logits(jnp.asarray(logits), self.task))
         result = {'loss': float(loss_fn(jnp.asarray(logits),
                                         jnp.asarray(y_arr)))}

@@ -282,10 +282,14 @@ class DeepTable:
         return oof_proba_fixed, eval_proba_mean, test_proba_mean
 
     # ------------------------------------------------------------------
-    def evaluate(self, X_test, y_test, batch_size=256, verbose=0,
+    def evaluate(self, X_test, y_test=None, batch_size=256, verbose=0,
                  model_selector=consts.MODEL_SELECTOR_CURRENT,
                  return_dict=True):
-        X_t, y_t = self.preprocessor.transform(X_test, y_test)
+        if DeepModel._is_batch_loader(X_test):
+            # out-of-core: the loader preprocesses + carries labels itself
+            X_t, y_t = X_test, None
+        else:
+            X_t, y_t = self.preprocessor.transform(X_test, y_test)
         model = self.get_model(model_selector)
         if not isinstance(model, DeepModel):
             raise ValueError(f'Wrong model_selector:{model_selector}')

@@ -232,6 +232,227 @@ class DefaultPreprocessor(AbstractPreprocessor):
                 _FIT_CACHE.popitem(last=False)
         return X, y
 
+    # -- streaming (out-of-core) fit ---------------------------------------
+    def fit_from_stats(self, col_stats, y_stats, n_rows):
+        """Fit the full transformer pipeline from one-pass streaming
+        statistics (``data.streaming.collect_streaming_stats``) without
+        materializing the dataset — the exact analog of the reference Dask
+        preprocessor's full-data fit statistics
+        (``/root/reference/deeptables/models/preprocessor.py:518-598``).
+
+        Produces the same ``X_transformers`` pipeline (same keys, same
+        order) and the same column metainfo as an in-memory
+        ``fit_transform`` over the concatenated stream: vocabularies,
+        imputation means, min/max scaling and quantile bin edges are exact
+        (bins degrade to a bounded sketch only beyond the collector's
+        ``vc_cap`` distinct values).  ``apply_gbm_features`` and multilabel
+        tasks are not supported here (they need a trained sub-model /
+        2-D y) — use the sample-based streaming fit instead.
+        """
+        if self.config.apply_gbm_features:
+            raise ValueError('apply_gbm_features requires fitting a GBM on '
+                             'data; use the sample-based streaming fit.')
+        self.reset()
+
+        # --- y: task inference + label encoding (mirror fit_transform_y) --
+        y_uniques = sorted(y_stats.uniques)
+        if self.config.task == consts.TASK_AUTO:
+            n_unique = len(y_uniques)
+            if n_unique <= 1:
+                raise ValueError('y must contain at least 2 distinct values.')
+            if n_unique == 2:
+                self.task_, self.labels_ = consts.TASK_BINARY, y_uniques
+            elif 'f' in y_stats.dtypes or 'c' in y_stats.dtypes:
+                self.task_, self.labels_ = consts.TASK_REGRESSION, []
+            elif ('i' in y_stats.dtypes or 'u' in y_stats.dtypes) \
+                    and n_unique > max(50, y_stats.n_rows * 0.5):
+                self.task_, self.labels_ = consts.TASK_REGRESSION, []
+            else:
+                self.task_, self.labels_ = consts.TASK_MULTICLASS, y_uniques
+        else:
+            self.task_ = self.config.task
+            self.labels_ = None
+        if self.task_ in (consts.TASK_BINARY, consts.TASK_MULTICLASS):
+            self.y_label_encoder = tx.LabelEncoder.from_classes(y_uniques)
+            self.labels_ = self.y_label_encoder.classes_
+        elif self.task_ == consts.TASK_MULTILABEL:
+            raise ValueError('multilabel y is 2-D; the streaming stats fit '
+                             'supports single-column targets only.')
+        else:
+            self.labels_ = []
+
+        # --- feature triage (mirror _prepare_features) ---------------------
+        if self.config.cat_exponent >= 1:
+            raise ValueError(f'"cat_exponent" must be less than 1, '
+                             f'not {self.config.cat_exponent} .')
+        var_len_cols = self.config.var_len_categorical_columns
+        var_len_spec = {v[0]: (v[1], v[2]) for v in (var_len_cols or ())}
+        unique_upper_limit = round(n_rows ** self.config.cat_exponent)
+        num_vars, convert2cat_vars, cat_vars = [], [], []
+        for c, st in col_stats.items():
+            nunique = st.nunique
+            dtype = st.resolved_dtype
+            if nunique <= 1 and self.config.auto_discard_unique:
+                continue
+            if c in (self.config.exclude_columns or ()):
+                continue
+            if c in var_len_spec:
+                sep, pooling = var_len_spec[c]
+                self._DefaultPreprocessor__append_var_len_categorical_col(c, nunique, sep, pooling)
+                continue
+            if isinstance(self.config.categorical_columns, list):
+                if c in self.config.categorical_columns:
+                    cat_vars.append((c, dtype, nunique))
+                elif not _is_categorical_dtype(dtype):
+                    num_vars.append((c, dtype, nunique))
+                else:
+                    logger.info(
+                        f'Column [{c}] has been discarded. It is not '
+                        f'numeric and not in [config.categorical_columns].')
+            else:
+                if _is_categorical_dtype(dtype):
+                    cat_vars.append((c, dtype, nunique))
+                elif self.config.auto_categorize \
+                        and nunique < unique_upper_limit:
+                    convert2cat_vars.append((c, dtype, nunique))
+                else:
+                    num_vars.append((c, dtype, nunique))
+
+        def _str_classes(st, extra=()):
+            vals = {str(v) for v in st.uniques}
+            vals.update(extra)
+            return sorted(vals)
+
+        if convert2cat_vars:
+            ce = tx.CategorizeEncoder([c for c, d, n in convert2cat_vars],
+                                      self.config.cat_remain_numeric)
+            for c, d, n in convert2cat_vars:
+                st = col_stats[c]
+                # SafeLabelEncoder.fit sees the raw column pre-imputation:
+                # NaNs become the string 'nan'
+                classes = _str_classes(st, ('nan',) if st.has_nan else ())
+                le = tx.SafeLabelEncoder.from_classes(classes)
+                ce.encoders[c] = le
+                if self.config.cat_remain_numeric:
+                    ce.new_columns.append(
+                        (f'{c}_cat', 'int32', len(classes)))
+            self.X_transformers['categorize'] = ce
+            if self.config.cat_remain_numeric:
+                cat_vars = cat_vars + ce.new_columns
+                num_vars = num_vars + convert2cat_vars
+            else:
+                cat_vars = cat_vars + convert2cat_vars
+
+        self._DefaultPreprocessor__append_categorical_cols(
+            [(c[0], c[2] + 2) for c in cat_vars])
+        self._DefaultPreprocessor__append_continuous_cols(
+            [c[0] for c in num_vars], consts.INPUT_PREFIX_NUM + 'all')
+
+        continuous_vars = self.get_continuous_columns()
+        categorical_vars = self.get_categorical_columns()
+        var_len_vars = self.get_var_len_categorical_columns()
+        twin_names = {name for name, _d, _n in
+                      (ce.new_columns if convert2cat_vars
+                       and self.config.cat_remain_numeric else [])}
+
+        def _col_dtype(c):
+            if c in twin_names:
+                return 'int32'  # label codes from CategorizeEncoder
+            return col_stats[c].resolved_dtype
+
+        # --- imputation (mirror _imputation; exact means) -----------------
+        if self.config.auto_imputation:
+            obj_cats, num_cats = [], []
+            for c in categorical_vars + var_len_vars:
+                (obj_cats if _is_categorical_dtype(_col_dtype(c))
+                 else num_cats).append(c)
+            means = {c: col_stats[c].mean for c in continuous_vars}
+            self.X_transformers['imputation'] = tx.FixedImputer(
+                means, obj_cats, num_cats)
+
+        # --- min-max scale (mirror _standard_scale) -----------------------
+        if self.config.auto_scale:
+            ss = tx.MinMaxScalerTransformer(continuous_vars)
+            for c in continuous_vars:
+                st = col_stats[c]
+                mn, mx = st.min_, st.max_
+                ss.min_[c] = mn
+                rng = mx - mn
+                ss.scale_[c] = 1.0 / rng if rng > 0 else 0.0
+            self.X_transformers['standard_scale'] = ss
+
+        # --- categorical label encoding (mirror _categorical_encoding) ----
+        if self.config.auto_encode_label:
+            mle = tx.MultiLabelEncoder(categorical_vars)
+            for c in categorical_vars:
+                if c in twin_names:
+                    # twin holds codes 0..K-1 (all observed)
+                    k = next(n for name, _d, n in ce.new_columns
+                             if name == c)
+                    classes = sorted(str(i) for i in range(k))
+                else:
+                    st = col_stats[c]
+                    if _is_categorical_dtype(st.resolved_dtype):
+                        extra = ('',) if (st.has_nan and
+                                          self.config.auto_imputation) \
+                            else ('nan',) if st.has_nan else ()
+                    else:
+                        fill = 0.0 if st.resolved_dtype == 'float64' else 0
+                        extra = (str(fill),) if (st.has_nan and
+                                                 self.config.auto_imputation) \
+                            else ('nan',) if st.has_nan else ()
+                    classes = _str_classes(st, extra)
+                mle.encoders[c] = tx.SafeLabelEncoder.from_classes(classes)
+            self.X_transformers['label_encoder'] = mle
+
+        # --- quantile discretization (mirror _discretization) -------------
+        if self.config.auto_discrete:
+            mkbd = tx.MultiKBinsDiscretizer(continuous_vars)
+            for c in continuous_vars:
+                st = col_stats[c]
+                if st.vc_overflow:
+                    logger.warning(f'column [{c}]: > vc_cap distinct values;'
+                                   f' quantile bins are sketch-based.')
+                impute_value = st.mean if self.config.auto_imputation else 0.0
+                scale = None
+                if self.config.auto_scale:
+                    rng = st.max_ - st.min_
+                    # quantile_distribution applies the scale to the whole
+                    # distribution including the imputed mass — pass raw mean
+                    scale = (st.min_, 1.0 / rng if rng > 0 else 0.0)
+                values, counts = st.quantile_distribution(
+                    impute_value=impute_value if st.has_nan else None,
+                    scale=scale)
+                n_bins = min(mkbd.bins, max(len(values), 2))
+                edges = tx.quantile_bin_edges(values, counts, n_bins)
+                kbd = tx.FixedBinsDiscretizer(edges)
+                new_name = f'{c}_discrete'
+                mkbd.discretizers[c] = kbd
+                mkbd.new_columns.append((c, new_name, int(kbd.n_bins_[0])))
+            self._DefaultPreprocessor__append_categorical_cols(
+                [(new_name, bins + 1) for _n, new_name, bins in
+                 mkbd.new_columns])
+            self.X_transformers['discreter'] = mkbd
+
+        # --- var-len encoding (mirror _var_len_encoder) -------------------
+        if var_len_cols:
+            transformer = tx.MultiVarLenFeatureEncoder(var_len_cols)
+            for name, sep in transformer.specs:
+                st = col_stats[name]
+                enc = tx.VarLenFeatureEncoder.from_vocab(
+                    st.tokens or (), st.max_token_len, sep)
+                transformer.encoders[name] = enc
+                transformer.max_length_[name] = enc.max_element_length
+            for col in self.var_len_categorical_columns:
+                col.max_elements_length = transformer.max_length_[col.name]
+            self.X_transformers['var_len_encoder'] = transformer
+
+        self.X_transformers['last'] = tx.PassThroughEstimator()
+        logger.info(f'fit_from_stats: {len(categorical_vars)} categorical, '
+                    f'{len(continuous_vars)} continuous, '
+                    f'{len(var_len_vars)} var-len columns over {n_rows} rows')
+        return self
+
     def fit_transform_y(self, y):
         if self.config.task == consts.TASK_AUTO:
             self.task_, self.labels_ = infer_task_type(y)

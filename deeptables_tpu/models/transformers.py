@@ -18,7 +18,6 @@ import numpy as np
 import pandas as pd
 from sklearn.compose import ColumnTransformer
 from sklearn.impute import SimpleImputer as SkSimpleImputer
-from sklearn.preprocessing import KBinsDiscretizer
 
 from ..utils import dt_logging
 
@@ -73,6 +72,16 @@ class SafeLabelEncoder:
         if (~valid).any():
             out[~valid] = self.classes_[0]
         return out
+
+
+    @classmethod
+    def from_classes(cls, classes):
+        """Construct a fitted encoder from a known class list (used by the
+        exact two-pass streaming fit — data/streaming.py)."""
+        enc = cls()
+        enc.classes_ = np.array(list(classes))
+        enc._mapping = {v: i for i, v in enumerate(enc.classes_)}
+        return enc
 
 
 class LabelEncoder(SafeLabelEncoder):
@@ -191,6 +200,87 @@ def build_imputation_transformer(continuous_vars, obj_cats, num_cats):
     return ColumnTransformer(transformers)
 
 
+class FixedImputer:
+    """Imputation step fitted from streaming statistics.
+
+    Produces the same output frame as ``DataFrameWrapper(ColumnTransformer)``
+    built by :func:`build_imputation_transformer` — a DataFrame containing
+    exactly ``continuous + obj_cats + num_cats`` (other columns dropped),
+    with continuous NaNs replaced by the (streaming-exact) means, object
+    categoricals by ``''`` and numeric categoricals by ``0``.
+    """
+
+    def __init__(self, means: Dict[str, float], obj_cats: List[str],
+                 num_cats: List[str]):
+        self.means = dict(means)
+        self.obj_cats = list(obj_cats)
+        self.num_cats = list(num_cats)
+        self.columns = list(means) + self.obj_cats + self.num_cats
+
+    def transform(self, X):
+        out = {}
+        for c, m in self.means.items():
+            out[c] = pd.to_numeric(X[c], errors='coerce').fillna(m)
+        for c in self.obj_cats:
+            out[c] = X[c].astype(object).where(X[c].notna(), '')
+        for c in self.num_cats:
+            out[c] = X[c].fillna(0)
+        return pd.DataFrame(out, index=X.index)[self.columns]
+
+    def fit_transform(self, X, y=None):
+        return self.transform(X)
+
+
+class FixedBinsDiscretizer:
+    """Quantile discretizer fitted from precomputed bin edges — the
+    streaming analog of sklearn's ``KBinsDiscretizer(strategy='quantile',
+    encode='ordinal')``, matching its transform exactly
+    (``np.searchsorted(edges[1:-1], x, side='right')``)."""
+
+    def __init__(self, bin_edges: np.ndarray):
+        self.bin_edges_ = np.asarray(bin_edges, dtype=np.float64)
+        self.n_bins_ = np.array([len(self.bin_edges_) - 1])
+
+    def transform(self, values):
+        values = np.asarray(values, dtype=np.float64).reshape(-1, 1)
+        codes = np.searchsorted(self.bin_edges_[1:-1], values[:, 0],
+                                side='right')
+        return codes.reshape(-1, 1)
+
+
+def quantile_bin_edges(values, counts, n_bins):
+    """Bin edges for quantile binning over a weighted value distribution,
+    replicating ``np.percentile(..., method='averaged_inverted_cdf')`` over
+    the expanded data followed by sklearn's tiny-bin-edge removal.
+
+    ``values`` must be sorted ascending, ``counts`` their multiplicities.
+    """
+    values = np.asarray(values, dtype=np.float64)
+    counts = np.asarray(counts, dtype=np.int64)
+    n = int(counts.sum())
+    cum = np.cumsum(counts)  # cum[i] = # of elements <= values[i]
+    quantiles = np.linspace(0, 100, n_bins + 1)
+    edges = np.empty(n_bins + 1)
+    for j, q in enumerate(quantiles):
+        h = q / 100.0 * n
+        # inverted_cdf: smallest v with cdf(v) >= h (h>0); averaged with the
+        # right-shifted inverse when h is integral
+        if h <= 0:
+            edges[j] = values[0]
+            continue
+        i = int(np.searchsorted(cum, np.ceil(h), side='left'))
+        i = min(i, len(values) - 1)
+        if abs(h - round(h)) < 1e-9 and int(round(h)) < n:
+            i2 = int(np.searchsorted(cum, int(round(h)) + 1, side='left'))
+            i2 = min(i2, len(values) - 1)
+            edges[j] = 0.5 * (values[i] + values[i2])
+        else:
+            edges[j] = values[i]
+    # sklearn removes bins whose edges are too close (_discretization.py)
+    mask = np.ediff1d(edges, to_begin=np.inf) > 1e-8
+    return edges[mask]
+
+
 class MinMaxScalerTransformer:
     """Min-max scale continuous columns in place (parity: hypernets
     MinMaxScalerTransformer at reference preprocessor.py:399)."""
@@ -222,14 +312,22 @@ class MinMaxScalerTransformer:
 class MultiKBinsDiscretizer:
     """Add ``<col>_discrete`` ordinal-binned twins of continuous columns
     (parity: hypernets MultiKBinsDiscretizer at reference
-    preprocessor.py:410; suffix per preprocessor_test.py:30-32)."""
+    preprocessor.py:410; suffix per preprocessor_test.py:30-32).
+
+    Binning uses :func:`quantile_bin_edges` + :class:`FixedBinsDiscretizer`
+    — numerically identical to sklearn's
+    ``KBinsDiscretizer(strategy='quantile',
+    quantile_method='averaged_inverted_cdf', encode='ordinal')`` (verified
+    in tests) — so the in-memory and exact-streaming fits share one edge
+    computation and produce bit-identical bins.
+    """
 
     def __init__(self, columns: List[str], bins: int = 10,
                  strategy: str = 'quantile'):
         self.columns = list(columns)
         self.bins = bins
         self.strategy = strategy
-        self.discretizers: Dict[str, KBinsDiscretizer] = {}
+        self.discretizers: Dict[str, FixedBinsDiscretizer] = {}
         self.new_columns = []  # (name, new_name, n_bins)
 
     def fit_transform(self, X, y=None):
@@ -237,12 +335,11 @@ class MultiKBinsDiscretizer:
         for c in self.columns:
             new_name = f'{c}_discrete'
             values = pd.to_numeric(X[c], errors='coerce') \
-                .fillna(0).values.reshape(-1, 1)
-            n_bins = min(self.bins, max(len(np.unique(values)), 2))
-            kbd = KBinsDiscretizer(n_bins=n_bins, encode='ordinal',
-                                   strategy=self.strategy,
-                                   quantile_method='averaged_inverted_cdf')
-            X[new_name] = kbd.fit_transform(values).astype(np.int32).reshape(-1)
+                .fillna(0).values.astype(np.float64)
+            uq, counts = np.unique(values, return_counts=True)
+            n_bins = min(self.bins, max(len(uq), 2))
+            kbd = FixedBinsDiscretizer(quantile_bin_edges(uq, counts, n_bins))
+            X[new_name] = kbd.transform(values).astype(np.int32).reshape(-1)
             self.discretizers[c] = kbd
             self.new_columns.append((c, new_name, int(kbd.n_bins_[0])))
         return X
@@ -280,6 +377,14 @@ class VarLenFeatureEncoder:
         self._mapping = {t: i + 1 for i, t in enumerate(sorted(tokens))}
         self.max_element_length = max(max_len, 1)
         return self
+
+    @classmethod
+    def from_vocab(cls, tokens, max_element_length, sep='|'):
+        """Fitted encoder from a known token vocabulary (streaming fit)."""
+        enc = cls(sep)
+        enc._mapping = {t: i + 1 for i, t in enumerate(sorted(tokens))}
+        enc.max_element_length = max(int(max_element_length), 1)
+        return enc
 
     def transform(self, series: pd.Series):
         unseen = len(self._mapping) + 1

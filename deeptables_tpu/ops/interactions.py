@@ -330,7 +330,8 @@ class CIN(nn.Module):
                 w = self.param(f'f_{i}', he,
                                (layer_size, f0_fields, hidden_fields))
             # z_bld = Σ_{f,g} x0_bfd · h_bgd · w_lfg
-            if self.use_pallas:
+            # reachable from ModelConfig via cin_params={'use_pallas': True}
+            if self.use_pallas or bool(self.params.get('use_pallas', False)):
                 from .kernels.cin import cin_layer_pallas
                 z = cin_layer_pallas(x, hidden, w)
             else:

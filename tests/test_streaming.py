@@ -70,3 +70,99 @@ class TestStreamingTraining:
         assert 'loss' in history.history
         assert 'val_auc' in history.history
         assert len(history.history['loss']) == 2
+
+
+class TestExactStreamingFit:
+    """The two-pass streaming fit must produce the same pipeline state as an
+    in-memory fit over the concatenated stream (VERDICT r2 #6; the analog of
+    the reference Dask preprocessor's exact cluster statistics)."""
+
+    @pytest.fixture(scope='class')
+    def messy_shards(self, tmp_path_factory):
+        import pandas as pd
+        tmp = tmp_path_factory.mktemp('messy')
+        rng = np.random.default_rng(7)
+        paths, frames = [], []
+        for i in range(3):
+            n = 400
+            df = pd.DataFrame({
+                'cat_a': rng.choice(['x', 'y', 'z', 'w'], n),
+                'cat_b': rng.choice(list('abcdefgh'), n),
+                'num_1': rng.normal(10, 3, n),
+                'num_2': rng.integers(0, 2000, n).astype(float),
+                'small_int': rng.integers(0, 5, n).astype(float),
+                'y': rng.choice(['no', 'yes'], n),
+            })
+            # inject NaNs into a categorical and a continuous column
+            df.loc[df.sample(30, random_state=i).index, 'cat_a'] = np.nan
+            df.loc[df.sample(25, random_state=i + 9).index, 'num_1'] = np.nan
+            p = str(tmp / f'part_{i}.csv')
+            df.to_csv(p, index=False)
+            # read back so dtype round-trips identically to the stream
+            frames.append(pd.read_csv(p))
+            paths.append(p)
+        return paths, pd.concat(frames, ignore_index=True)
+
+    def _config(self):
+        return ModelConfig(nets=['dnn_nets'], metrics=['AUC'],
+                           auto_categorize=True, auto_discrete=True,
+                           auto_scale=True, embedding_dropout=0)
+
+    def test_stats_match_inmemory(self, messy_shards):
+        paths, full = messy_shards
+        config = self._config()
+
+        pre_s = DefaultPreprocessor(config, use_cache=False)
+        fit_preprocessor_streaming(
+            pre_s, ChunkedSource(paths, chunk_size=150), target='y')
+
+        pre_m = DefaultPreprocessor(config, use_cache=False)
+        y_full = full['y']
+        X_full = full.drop(columns=['y'])
+        X_mem, y_mem = pre_m.fit_transform(X_full.copy(), y_full.copy())
+
+        # identical task/labels and column metainfo
+        assert pre_s.task == pre_m.task
+        assert list(pre_s.labels) == list(pre_m.labels)
+        assert [(c.name, c.vocabulary_size, c.embeddings_output_dim)
+                for c in pre_s.categorical_columns] == \
+               [(c.name, c.vocabulary_size, c.embeddings_output_dim)
+                for c in pre_m.categorical_columns]
+        assert pre_s.get_continuous_columns() == pre_m.get_continuous_columns()
+        assert list(pre_s.X_transformers) == list(pre_m.X_transformers)
+
+        # identical transforms of a held-out-like chunk
+        X_s = pre_s.transform_X(X_full.copy())
+        X_m = pre_m.transform_X(X_full.copy())
+        assert list(X_s.columns) == list(X_m.columns)
+        for c in X_s.columns:
+            a = X_s[c].to_numpy()
+            b = X_m[c].to_numpy()
+            if a.dtype.kind in 'fc':
+                np.testing.assert_allclose(
+                    a.astype(float), b.astype(float), rtol=1e-9, atol=1e-12,
+                    err_msg=f'column {c}')
+            else:
+                assert (a == b).all(), f'column {c}'
+        np.testing.assert_array_equal(pre_s.transform_y(y_full),
+                                      np.asarray(y_mem))
+
+    def test_streaming_e2e_with_eval(self, messy_shards):
+        paths, full = messy_shards
+        config = self._config()
+        pre = DefaultPreprocessor(config, use_cache=False)
+        source = ChunkedSource(paths, chunk_size=150)
+        fit_preprocessor_streaming(pre, source, target='y')
+
+        train_loader = StreamingDataLoader(source, pre, target='y',
+                                           batch_size=64)
+        eval_loader = StreamingDataLoader(
+            ChunkedSource(paths[:1], chunk_size=150), pre, target='y',
+            batch_size=64, shuffle_in_chunk=False, drop_remainder=False)
+        model = DeepModel(pre.task, len(pre.labels), config,
+                          pre.categorical_columns, pre.continuous_columns)
+        model.fit(train_loader, epochs=1, verbose=0)
+        result = model.evaluate(eval_loader)
+        assert 'auc' in result and np.isfinite(result['loss'])
+        proba = model.predict(eval_loader)
+        assert proba.shape[0] == 400
