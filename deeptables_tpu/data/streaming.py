@@ -82,7 +82,7 @@ class StreamingDataLoader:
                  batch_size: int = 512, shuffle_chunks: bool = True,
                  shuffle_in_chunk: bool = True, drop_remainder: bool = True,
                  pad_multiple: int = 1, steps_per_epoch: Optional[int] = None,
-                 seed: int = 0):
+                 seed: int = 0, fold_spec=None):
         self.source = source
         self.preprocessor = preprocessor
         self.target = target
@@ -94,16 +94,41 @@ class StreamingDataLoader:
         self._steps_per_epoch = steps_per_epoch
         self.seed = seed
         self._epoch = 0
+        # out-of-core k-fold split (the analog of the reference's Dask CV
+        # index-range split, deeptable.py:416-426): ``(num_folds, fold,
+        # role)`` keeps rows whose global stream position % num_folds
+        # == fold ('valid') or != fold ('train').
+        if fold_spec is not None:
+            num_folds, fold, role = fold_spec
+            if role not in ('train', 'valid'):
+                raise ValueError(f'fold role must be train|valid: {role!r}')
+            if not 0 <= fold < num_folds:
+                raise ValueError(f'fold {fold} out of range({num_folds})')
+        self.fold_spec = fold_spec
+
+    def _fold_mask(self, n, base):
+        num_folds, fold, role = self.fold_spec
+        pos = np.arange(base, base + n)
+        in_fold = (pos % num_folds) == fold
+        return in_fold if role == 'valid' else ~in_fold
 
     @property
     def steps(self):
         if self._steps_per_epoch is None:
             # one counting pass (cheap: row counts only)
             total = sum(len(c) for c in self.source.iter_chunks())
+            if self.fold_spec is not None:
+                num_folds, _f, role = self.fold_spec
+                frac = 1.0 / num_folds
+                total = int(total * (frac if role == 'valid' else 1 - frac))
             self._steps_per_epoch = max(total // self.batch_size, 1)
         return self._steps_per_epoch
 
-    def _chunk_to_batches(self, chunk: pd.DataFrame, rng):
+    def _chunk_to_batches(self, chunk: pd.DataFrame, rng, base_offset=0):
+        if self.fold_spec is not None:
+            chunk = chunk[self._fold_mask(len(chunk), base_offset)]
+            if len(chunk) == 0:
+                return []
         y_raw = chunk[self.target]
         X = chunk.drop(columns=[self.target])
         X_t = self.preprocessor.transform_X(X)
@@ -133,8 +158,10 @@ class StreamingDataLoader:
         # trainer consumes batches of the current one
         with concurrent.futures.ThreadPoolExecutor(max_workers=2) as pool:
             pending = None
+            offset = 0
             for chunk in chunks:
-                fut = pool.submit(self._chunk_to_batches, chunk, rng)
+                fut = pool.submit(self._chunk_to_batches, chunk, rng, offset)
+                offset += len(chunk)
                 if pending is not None:
                     for item in pending.result():
                         yield item

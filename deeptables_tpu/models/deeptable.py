@@ -281,6 +281,64 @@ class DeepTable:
                 oof_scores
         return oof_proba_fixed, eval_proba_mean, test_proba_mean
 
+    def fit_cross_validation_streaming(self, source, target, num_folds=5,
+                                       batch_size=512, epochs=1, verbose=0,
+                                       callbacks=None, oof_metrics=None):
+        """K-fold CV over an out-of-core stream (the analog of the
+        reference's Dask CV, deeptable.py:416-426, which persists the frame
+        and splits on index ranges).
+
+        Folds are defined by global stream position modulo ``num_folds``
+        (``StreamingDataLoader(fold_spec=...)``); each fold trains on the
+        complement and is scored on its own rows in one streaming pass.
+        Returns per-fold score dicts (OOF predictions are not materialized
+        — the point of the out-of-core path is that N rows don't fit).
+        """
+        from ..data.streaming import StreamingDataLoader
+        from .preprocessor import DefaultPreprocessor
+        start = time.time()
+        self.__modelset.clear()
+        if self.preprocessor is None:
+            from ..data.streaming import fit_preprocessor_streaming
+            self.preprocessor = DefaultPreprocessor(self.config,
+                                                    use_cache=False)
+            fit_preprocessor_streaming(self.preprocessor, source, target)
+        pre = self.preprocessor
+        callbacks = self.__inject_callbacks(callbacks)
+        fold_scores = []
+        for fold in range(num_folds):
+            logger.info(f'\nStreaming fold {fold + 1}/{num_folds}\n')
+            train_loader = StreamingDataLoader(
+                source, pre, target, batch_size=batch_size,
+                fold_spec=(num_folds, fold, 'train'))
+            valid_loader = StreamingDataLoader(
+                source, pre, target, batch_size=batch_size,
+                shuffle_in_chunk=False, drop_remainder=False,
+                fold_spec=(num_folds, fold, 'valid'))
+            model = DeepModel(
+                self.task, self.num_classes, self.config,
+                pre.categorical_columns, pre.continuous_columns,
+                var_categorical_len_columns=pre.var_len_categorical_columns)
+            history = model.fit(train_loader, validation_data=valid_loader,
+                                epochs=epochs, verbose=verbose,
+                                callbacks=callbacks)
+            score = model.evaluate(valid_loader)
+            if oof_metrics:
+                score = {m: score[m] for m in oof_metrics if m in score} \
+                    or dict(score)
+            fold_scores.append(dict(score))
+            model_file = os.path.join(
+                self.output_path,
+                f'{"_".join(self.nets)}-stream-kfold-{fold + 1}.dt')
+            model.save(model_file)
+            model.release()
+            self.__push_model(
+                'val', f'{"+".join(self.nets)}-stream-kfold-{fold + 1}',
+                model_file, history.history, save_model=False)
+        logger.info(f'fit_cross_validation_streaming taken '
+                    f'{time.time() - start}s')
+        return fold_scores
+
     # ------------------------------------------------------------------
     def evaluate(self, X_test, y_test=None, batch_size=256, verbose=0,
                  model_selector=consts.MODEL_SELECTOR_CURRENT,

@@ -166,3 +166,45 @@ class TestExactStreamingFit:
         assert 'auc' in result and np.isfinite(result['loss'])
         proba = model.predict(eval_loader)
         assert proba.shape[0] == 400
+
+
+class TestStreamingCV:
+    def test_fold_masks_partition(self, csv_shards):
+        config = ModelConfig(nets=['dnn_nets'], metrics=['AUC'],
+                             embedding_dropout=0)
+        pre = DefaultPreprocessor(config, use_cache=False)
+        src = ChunkedSource(csv_shards, chunk_size=170)
+        fit_preprocessor_streaming(pre, src, target='y')
+        # every row lands in exactly one fold's valid split
+        total = sum(len(c) for c in src.iter_chunks())
+        valid_counts = 0
+        for fold in range(3):
+            ld = StreamingDataLoader(src, pre, target='y', batch_size=32,
+                                     shuffle_in_chunk=False,
+                                     drop_remainder=False,
+                                     fold_spec=(3, fold, 'valid'))
+            n = sum(int(valid) for _b, _y, _w, valid in ld)
+            train_ld = StreamingDataLoader(src, pre, target='y',
+                                           batch_size=32,
+                                           shuffle_in_chunk=False,
+                                           drop_remainder=False,
+                                           fold_spec=(3, fold, 'train'))
+            n_train = sum(int(valid) for _b, _y, _w, valid in train_ld)
+            assert n + n_train == total
+            valid_counts += n
+        assert valid_counts == total
+
+    def test_cv_streaming_e2e(self, csv_shards):
+        from deeptables_tpu.models import DeepTable
+        config = ModelConfig(nets=['dnn_nets'], metrics=['AUC'],
+                             embedding_dropout=0,
+                             earlystopping_patience=0)
+        dt = DeepTable(config=config)
+        src = ChunkedSource(csv_shards, chunk_size=300)
+        scores = dt.fit_cross_validation_streaming(
+            src, target='y', num_folds=3, batch_size=64, epochs=1,
+            verbose=0)
+        assert len(scores) == 3
+        assert all(np.isfinite(s['loss']) for s in scores)
+        assert all('auc' in s for s in scores)
+        assert dt.leaderboard is not None and len(dt.leaderboard) == 3
