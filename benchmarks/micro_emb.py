@@ -108,6 +108,26 @@ def main():
     run('fwd raw take packed rows',
         lambda: jnp.take(table, flat // k, axis=0))
 
+    # forward: Pallas DMA-pipelined row gather vs the take above
+    # (ops/kernels/emb_gather.py — the a2a owner-side gather candidate)
+    from deeptables_tpu.ops.kernels.emb_gather import (gather_pallas,
+                                                       sharded_gather_pallas)
+    run('fwd gather_pallas packed rows',
+        lambda: gather_pallas(table, flat // k))
+
+    # owner-side masked gather (sharded_lookup_a2a): jnp 3-op vs fused kernel
+    packed_ids = flat // k
+
+    def masked_take():
+        rel = packed_ids - 0
+        valid = (rel >= 0) & (rel < n_packed)
+        rows = jnp.take(table, jnp.clip(rel, 0, n_packed - 1), axis=0)
+        return jnp.where(valid[:, None], rows, 0)
+
+    run('a2a owner gather: jnp take+mask', masked_take)
+    run('a2a owner gather: pallas fused',
+        lambda: sharded_gather_pallas(table, packed_ids, 0))
+
     # bwd kernel at different chunk sizes
     ids_small = ids2[:, :n_small]
     g_small = g3[:, :n_small]

@@ -112,6 +112,32 @@ class DeepTable:
             initial_epoch=0, steps_per_epoch=None, validation_steps=None,
             validation_freq=1, max_queue_size=10, workers=1,
             use_multiprocessing=False):
+        if DeepModel._is_batch_loader(X):
+            # out-of-core: X is a StreamingDataLoader (already preprocessed
+            # through its own fitted preprocessor); y must be None
+            if self.preprocessor is None:
+                self.preprocessor = getattr(X, 'preprocessor', None)
+            if self.preprocessor is None:
+                raise ValueError('streaming fit needs a fitted preprocessor '
+                                 '(see data.streaming.'
+                                 'fit_preprocessor_streaming).')
+            self.__modelset.clear()
+            callbacks = self.__inject_callbacks(callbacks)
+            model = DeepModel(
+                self.task, self.num_classes, self.config,
+                self.preprocessor.categorical_columns,
+                self.preprocessor.continuous_columns,
+                var_categorical_len_columns=
+                self.preprocessor.var_len_categorical_columns)
+            history = model.fit(X, validation_data=validation_data,
+                                epochs=epochs, verbose=verbose,
+                                callbacks=callbacks,
+                                initial_epoch=initial_epoch,
+                                steps_per_epoch=steps_per_epoch)
+            self.__set_model('val', f'{"+".join(self.nets)}', model,
+                             history.history)
+            return model, history
+
         logger.info(f'X.Shape={np.shape(X)}, y.Shape={np.shape(y)}, '
                     f'batch_size={batch_size}')
         if np.ndim(X) != 2:

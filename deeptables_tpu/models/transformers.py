@@ -441,7 +441,13 @@ class GbmLeavesEncoder:
         params = dict(gbm_params)
         params.setdefault('n_estimators', 10)
         params.setdefault('max_depth', 3)
-        params.pop('learning_rate', None)
+        # map LightGBM-style names to their sklearn equivalents so a
+        # reference user's gbm_params carries over (learning_rate passes
+        # straight through; num_boost_round/num_leaves translate)
+        if 'num_boost_round' in params:
+            params['n_estimators'] = params.pop('num_boost_round')
+        if 'num_leaves' in params:
+            params['max_leaf_nodes'] = params.pop('num_leaves')
         self.gbm_params = params
         self.model = None
         self.new_columns: List[str] = []

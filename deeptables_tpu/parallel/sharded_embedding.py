@@ -102,7 +102,8 @@ def _log_capacity_drops(count):  # host callback from the jitted kernel
 
 
 def sharded_lookup_a2a(table: jax.Array, ids: jax.Array, mesh: Mesh,
-                       capacity_factor: float = None, dim: int = None):
+                       capacity_factor: float = None, dim: int = None,
+                       use_pallas_gather: bool = False):
     """Row-sharded lookup via explicit all-to-all exchange (DLRM-style).
 
     The psum formulation (:func:`sharded_lookup`) makes every model shard
@@ -181,8 +182,16 @@ def sharded_lookup_a2a(table: jax.Array, ids: jax.Array, mesh: Mesh,
         # answer requests with a masked local gather
         rel = recv_ids // k - me * rows_local
         valid = (rel >= 0) & (rel < rows_local)
-        rows = jnp.take(local_table, jnp.clip(rel, 0, rows_local - 1),
-                        axis=0)
+        if use_pallas_gather:
+            # fused clamp+gather+mask kernel (ops/kernels/emb_gather.py);
+            # measured vs jnp.take in benchmarks/micro_emb.py
+            from ..ops.kernels.emb_gather import sharded_gather_pallas
+            rows = sharded_gather_pallas(
+                local_table, (recv_ids // k).reshape(-1),
+                me * rows_local).reshape(*recv_ids.shape, -1)
+        else:
+            rows = jnp.take(local_table, jnp.clip(rel, 0, rows_local - 1),
+                            axis=0)
         if k > 1:  # sub-select the logical row before the return trip
             sub = jax.nn.one_hot(recv_ids % k, k, dtype=rows.dtype)
             rows = jnp.einsum('sckd,sck->scd',

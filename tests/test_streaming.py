@@ -208,3 +208,23 @@ class TestStreamingCV:
         assert all(np.isfinite(s['loss']) for s in scores)
         assert all('auc' in s for s in scores)
         assert dt.leaderboard is not None and len(dt.leaderboard) == 3
+
+
+def test_deeptable_streaming_fit_and_evaluate(csv_shards):
+    """DeepTable.fit/evaluate accept streaming loaders end-to-end."""
+    from deeptables_tpu.models import DeepTable
+    config = ModelConfig(nets=['linear', 'dnn_nets'], metrics=['AUC'],
+                         embedding_dropout=0, earlystopping_patience=0)
+    pre = DefaultPreprocessor(config, use_cache=False)
+    src = ChunkedSource(csv_shards, chunk_size=300)
+    fit_preprocessor_streaming(pre, src, target='y')
+    train_loader = StreamingDataLoader(src, pre, target='y', batch_size=64)
+    eval_loader = StreamingDataLoader(
+        ChunkedSource(csv_shards[:1], chunk_size=300), pre, target='y',
+        batch_size=64, shuffle_in_chunk=False, drop_remainder=False)
+
+    dt = DeepTable(config=config)
+    _, history = dt.fit(train_loader, epochs=1, verbose=0)
+    assert 'loss' in history.history
+    result = dt.evaluate(eval_loader)
+    assert 'auc' in result and np.isfinite(result['loss'])
