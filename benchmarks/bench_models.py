@@ -103,11 +103,13 @@ def _throughput_for(nets, cat, dense, y, vocab_sizes, emb_dim=16,
     bstats = model.variables.get('batch_stats', {})
     rng = jax.random.PRNGKey(0)
 
-    cost = timing.chunk_cost_analysis(chunk_jit, params, bstats, opt_state,
-                                      stacked, rng, steps_per_chunk)
+    # measure first (normal jit path); cost analysis second — its AOT
+    # compile can be slow or unsupported, and must not block the numbers
     res = timing.measure_chunked(chunk_jit, params, bstats, opt_state,
                                  stacked, rng, batch_size, steps_per_chunk,
                                  bench_seconds)
+    cost = timing.chunk_cost_analysis(chunk_jit, params, bstats, opt_state,
+                                      stacked, rng, steps_per_chunk)
     out = {'examples_per_sec': round(res['examples_per_sec'], 1),
            'step_ms': round(res['step_seconds'] * 1e3, 4),
            'batch_size': batch_size, 'finite': res['finite']}

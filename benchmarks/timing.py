@@ -102,8 +102,16 @@ def chunk_cost_analysis(chunk_jit, params, bstats, opt_state, stacked, rng,
 
     Returns {'flops': f, 'bytes': b} per step, or None if unavailable.
     """
+    import jax
+
+    def _aval(tree):
+        return jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype), tree)
+
     try:
-        lowered = chunk_jit.lower(params, bstats, opt_state, *stacked, rng)
+        lowered = chunk_jit.lower(_aval(params), _aval(bstats),
+                                  _aval(opt_state), *_aval(stacked),
+                                  _aval(rng))
         ca = lowered.compile().cost_analysis()
         if isinstance(ca, list):  # older jax returns one dict per device
             ca = ca[0]

@@ -331,7 +331,16 @@ class CIN(nn.Module):
                                (layer_size, f0_fields, hidden_fields))
             # z_bld = Σ_{f,g} x0_bfd · h_bgd · w_lfg
             # reachable from ModelConfig via cin_params={'use_pallas': True}
-            if self.use_pallas or bool(self.params.get('use_pallas', False)):
+            want_pallas = self.use_pallas or \
+                bool(self.params.get('use_pallas', False))
+            if want_pallas:
+                # Mosaic lowering constraints: lane-aligned L and a batch
+                # tile ≥ the dtype's sublane pack (tiny traces — e.g. the
+                # B=2 init — fall back to the einsum, same math)
+                from .kernels.cin import supported
+                want_pallas = supported(layer_size) and x.shape[0] >= 512 \
+                    and x.shape[0] % 512 == 0
+            if want_pallas:
                 from .kernels.cin import cin_layer_pallas
                 z = cin_layer_pallas(x, hidden, w)
             else:
