@@ -105,11 +105,13 @@ def _throughput_for(nets, cat, dense, y, vocab_sizes, emb_dim=16,
 
     # measure first (normal jit path); cost analysis second — its AOT
     # compile can be slow or unsupported, and must not block the numbers
+    batch0 = {k: np.asarray(v[0]) for k, v in stacked[0].items()}
+    y0 = np.asarray(stacked[1][0])
     res = timing.measure_chunked(chunk_jit, params, bstats, opt_state,
                                  stacked, rng, batch_size, steps_per_chunk,
                                  bench_seconds)
-    cost = timing.chunk_cost_analysis(chunk_jit, params, bstats, opt_state,
-                                      stacked, rng, steps_per_chunk)
+    cost = timing.step_cost_analysis(train_step, params, bstats, opt_state,
+                                     batch0, y0, rng)
     out = {'examples_per_sec': round(res['examples_per_sec'], 1),
            'step_ms': round(res['step_seconds'] * 1e3, 4),
            'batch_size': batch_size, 'finite': res['finite']}

@@ -96,11 +96,13 @@ def measure_chunked(chunk_jit, params, bstats, opt_state, stacked, rng,
     }
 
 
-def chunk_cost_analysis(chunk_jit, params, bstats, opt_state, stacked, rng,
-                        steps_per_chunk):
-    """XLA cost analysis of one chunk, per train step.
+def step_cost_analysis(train_step, params, bstats, opt_state, batch, yb,
+                       rng):
+    """XLA cost analysis of ONE jitted train step (never the scan chunk:
+    XLA counts a loop body once, so a chunk's numbers are not per-step).
 
-    Returns {'flops': f, 'bytes': b} per step, or None if unavailable.
+    Returns {'flops': f, 'bytes': b}, or None if unavailable.  Lowers on
+    shape structs so donated/executed buffers are never touched.
     """
     import jax
 
@@ -109,17 +111,16 @@ def chunk_cost_analysis(chunk_jit, params, bstats, opt_state, stacked, rng,
             lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype), tree)
 
     try:
-        lowered = chunk_jit.lower(_aval(params), _aval(bstats),
-                                  _aval(opt_state), *_aval(stacked),
-                                  _aval(rng))
+        lowered = jax.jit(train_step).lower(
+            _aval(params), _aval(bstats), _aval(opt_state), _aval(batch),
+            _aval(yb), _aval(rng))
         ca = lowered.compile().cost_analysis()
         if isinstance(ca, list):  # older jax returns one dict per device
             ca = ca[0]
         if not ca:
             return None
-        return {'flops': float(ca.get('flops', 0.0)) / steps_per_chunk,
-                'bytes': float(ca.get('bytes accessed', 0.0))
-                / steps_per_chunk}
+        return {'flops': float(ca.get('flops', 0.0)),
+                'bytes': float(ca.get('bytes accessed', 0.0))}
     except Exception:
         return None
 

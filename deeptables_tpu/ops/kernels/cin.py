@@ -53,7 +53,9 @@ def _cin_fwd_kernel(x0_ref, h_ref, w2_ref, o_ref):
     h_d = h_ref[0]  # (TB, G)
     m = jnp.dot(h_d, w2_ref[...], preferred_element_type=jnp.float32)
     m3 = m.reshape(-1, F, L)
-    z = jnp.sum(x0_d[:, :, None].astype(jnp.float32) * m3, axis=1)
+    # cast BEFORE inserting the minor dim: Mosaic only supports non-no-op
+    # minor-dim insertion on 32-bit vectors (bf16 inputs crash otherwise)
+    z = jnp.sum(x0_d.astype(jnp.float32)[:, :, None] * m3, axis=1)
     o_ref[0] = z.astype(o_ref.dtype)
 
 
