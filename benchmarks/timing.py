@@ -130,6 +130,13 @@ def roofline(step_seconds, flops_per_step, bytes_per_step, device_kind=None):
 
     Returns a dict with the two bound times, the binding resource, and the
     fraction of the roofline achieved (measured vs best-possible step time).
+
+    Caveat: XLA's 'bytes accessed' counts every op's operand/result bytes,
+    including buffers that fusion keeps in registers/VMEM — it is an UPPER
+    bound on true HBM traffic, so ``roofline_fraction`` can exceed 1 when
+    fusion removes most of the counted traffic.  Treat the flops-side bound
+    as exact and the bytes-side bound as pessimistic; BASELINE.md carries
+    the hand-computed traffic for the headline configs.
     """
     import jax
     if device_kind is None:
