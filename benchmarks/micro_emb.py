@@ -93,7 +93,11 @@ def main():
 
     def run(name, fn):
         if want(name):
-            report(name, timed(fn, ()))
+            try:
+                report(name, timed(fn, ()))
+            except Exception as e:  # experimental kernels may not lower
+                msg = str(e).splitlines()[0][:90] if str(e) else type(e).__name__
+                print(f'{name:36s}    FAILED: {msg}', flush=True)
 
     # forward: full fused packed gather + k-select
     run('fwd packed_lookup (all cols)',

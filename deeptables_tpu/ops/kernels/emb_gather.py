@@ -1,22 +1,38 @@
 # -*- coding:utf-8 -*-
-"""Pallas embedding-gather kernels.
+"""Pallas embedding-gather kernels (experimental; measured and declined).
 
 ``gather_pallas``: rows of an HBM-resident table are fetched by id with
 double-buffered async DMA — ids arrive via scalar prefetch
 (PrefetchScalarGridSpec) so each grid step can compute its DMA source
-addresses before the body runs.  This is the building block the north-star
-sharded-embedding path composes: on a row-sharded table each shard runs the
-same kernel over the ids it owns (mask → local gather) with the psum/
-all-to-all return ride on XLA collectives (see
-parallel/sharded_embedding.py).
+addresses before the body runs.
 
 ``sharded_gather_pallas``: the masked local-shard gather as one fused
-kernel — clamp/gather/zero-mask in VMEM — used under shard_map in place of
-the three-op jnp sequence.
+kernel — clamp/gather/zero-mask in VMEM — the candidate replacement for
+the three-op jnp sequence under shard_map in
+parallel/sharded_embedding.py.
 
-XLA's native gather is already heavily tuned on TPU; these kernels are the
-foundation for fusions XLA can't express (gather + dequantize, gather +
-pooling) and are validated against dense oracles in interpret mode.
+**Measured verdict (v5e, B=8192, 26 criteo columns, lane-packed table —
+benchmarks/micro_emb.py):** XLA's native gather wins and is the
+production path.
+
+- ``jnp.take`` over packed rows: **408 µs**; the masked 3-op local-shard
+  sequence (clamp+take+where): **402 µs** — XLA fuses the mask into the
+  gather, so the fused kernel has no traffic to remove.
+- ``gather_pallas``: **33.4 ms** (77× slower).  One row is a 512 B DMA;
+  the scalar core issues/waits descriptors serially, so per-row DMA cost
+  (~150 ns) dominates.  XLA's gather uses the vector load path at
+  ~2 ns/row.  A DMA-per-row design cannot close that gap at any
+  pipeline depth; it only pays off when rows are large (≥ several KB).
+- ``sharded_gather_pallas`` does not lower on current Mosaic: a row
+  gather ``(N,D) from (V,D)`` hits ``NotImplementedError`` /
+  "Shape mismatch" in ``_gather_lowering_rule`` — Mosaic only supports
+  ``take_along_axis``-style same-shape ``tpu.dynamic_gather``.  The
+  kernel runs in interpret mode only (oracle tests).
+
+Kept as validated building blocks for fusions XLA cannot express
+(gather + dequantize, gather + pooling) once Mosaic grows a row-gather
+primitive; both are oracle-tested in interpret mode
+(tests/test_emb_gather_kernel.py).
 """
 
 import functools
