@@ -141,25 +141,21 @@ def main():
                                           tuple(col_steps), p_small, k, dim,
                                           max_chunk=mc))
 
-    # bwd tail scatter
+    # bwd tail scatter (logical-row scatter + contiguous repack, as
+    # production — see ops/embedding.py scatter_grad)
     def tail_scatter():
         idsr = ids2[:, n_small:].reshape(-1)
         gr = g3[:, n_small:].reshape(-1, dim)
-        sel = jax.nn.one_hot(idsr % k, k, dtype=jnp.float32)
-        upd = (gr[:, None, :] * sel[:, :, None]).reshape(-1, k * dim)
-        out = jnp.zeros((n_packed - p_small, k * dim), jnp.float32)
-        return out.at[idsr // k - p_small].add(upd)
+        out = jnp.zeros(((n_packed - p_small) * k, dim), jnp.float32)
+        return out.at[idsr - p_small * k].add(gr).reshape(-1, k * dim)
 
     run('bwd tail scatter (7 cols)', tail_scatter)
 
     # bwd all-scatter
     def all_scatter():
-        idsr = flat
         gr = g3.reshape(-1, dim)
-        sel = jax.nn.one_hot(idsr % k, k, dtype=jnp.float32)
-        upd = (gr[:, None, :] * sel[:, :, None]).reshape(-1, k * dim)
-        out = jnp.zeros((n_packed, k * dim), jnp.float32)
-        return out.at[idsr // k].add(upd)
+        out = jnp.zeros((n_packed * k, dim), jnp.float32)
+        return out.at[flat].add(gr).reshape(-1, k * dim)
 
     run('bwd all scatter (26 cols)', all_scatter)
 

@@ -28,8 +28,33 @@ from .initializers import get_initializer
 
 
 import functools
+import os
 
 _LANES = 128  # TPU lane width: last-dim tiles are always 128 wide
+
+
+def _ksel_matmul() -> bool:
+    """Forward k-select formulation (A/B: benchmarks/profile_emb_ab.py).
+
+    'elementwise' (default): (M,k,dim) one-hot multiply+reduce — slower
+    standalone but fuses with consumers, faster in the full train step.
+    'matmul': lane-mask + block-eye matmul — faster standalone.
+    Read at trace time; set DT_EMB_KSEL to override.
+    """
+    return os.environ.get('DT_EMB_KSEL', 'elementwise') == 'matmul'
+
+
+def _scatter_logical() -> bool:
+    """Backward scatter formulation (A/B: benchmarks/profile_emb_ab.py).
+
+    'lane' (default): lane-expand updates to (M, k*dim) and scatter at
+    packed-row granularity — more bytes, but XLA keeps the packed layout.
+    'logical': scatter raw (M, dim) rows into a dense (n*k, dim) buffer
+    and repack by reshape — 2× faster standalone, but in-situ XLA assigns
+    the dim-minor buffer a padded layout and it measures slower.
+    Read at trace time; set DT_EMB_SCATTER to override.
+    """
+    return os.environ.get('DT_EMB_SCATTER', 'lane') == 'logical'
 
 
 def _pack_factor(dim: int) -> int:
@@ -58,11 +83,24 @@ def packed_shape(n_rows: int, dim: int) -> Tuple[int, int]:
 def _make_packed_lookup(n_packed, k, dim, dtype_name):
     dtype = jnp.dtype(dtype_name)
 
+    # fixed (k*dim, dim) block-eye: sums the k lane blocks onto dim lanes
+    sel_mat = np.tile(np.eye(dim, dtype=np.float32), (k, 1))
+
     @jax.custom_vjp
     def lookup(table, flat_ids):
         rows = jnp.take(table, flat_ids // k, axis=0)  # (M, k*dim)
         if k == 1:
             return rows
+        if _ksel_matmul():
+            # k-select in LANE space: mask the wanted block, sum blocks
+            # with one tiny matmul.  Faster standalone (399 vs 433 us)
+            # but the dot cannot fuse with consumers; in-situ the
+            # elementwise form wins (see benchmarks/profile_emb_ab.py).
+            lane_block = jax.lax.broadcasted_iota(
+                jnp.int32, (1, k * dim), 1) // dim
+            masked = jnp.where(lane_block == (flat_ids % k)[:, None],
+                               rows, 0)
+            return masked @ jnp.asarray(sel_mat, table.dtype)
         sel = jax.nn.one_hot(flat_ids % k, k, dtype=table.dtype)
         return (rows.reshape(-1, k, dim) * sel[:, :, None]).sum(axis=1)
 
@@ -72,12 +110,22 @@ def _make_packed_lookup(n_packed, k, dim, dtype_name):
     def bwd(flat_ids, g):
         g = g.astype(jnp.float32)
         if k == 1:
-            upd = g
+            upd, idx, rows_out, repack = g, flat_ids, n_packed, False
+        elif _scatter_logical():
+            # scatter at LOGICAL-row granularity into a dense (n*k, dim)
+            # buffer, then repack with one contiguous reshape
+            upd, idx, rows_out, repack = g, flat_ids, n_packed * k, True
         else:
-            sel = jax.nn.one_hot(flat_ids % k, k, dtype=jnp.float32)
-            upd = (g[:, None, :] * sel[:, :, None]).reshape(-1, k * dim)
-        dtable = jnp.zeros((n_packed, k * dim), jnp.float32)
-        dtable = dtable.at[flat_ids // k].add(upd)
+            # lane-expanded packed-row scatter
+            lane_block = jax.lax.broadcasted_iota(
+                jnp.int32, (1, k * dim), 1) // dim
+            tiled = jnp.concatenate([g] * k, axis=1)
+            upd = jnp.where(lane_block == (flat_ids % k)[:, None], tiled, 0)
+            idx, rows_out, repack = flat_ids // k, n_packed, False
+        dtable = jnp.zeros((rows_out, upd.shape[1]), jnp.float32)
+        dtable = dtable.at[idx].add(upd)
+        if repack:
+            dtable = dtable.reshape(n_packed, k * dim)
         return dtable.astype(dtype), None
 
     lookup.defvjp(fwd, bwd)
@@ -121,14 +169,30 @@ def _make_multicol_lookup(n_packed, k, dim, dtype_name, vocabs, offsets):
         return lookup(table, flat_ids), flat_ids
 
     def scatter_grad(ids2, g3, lo_col, row_base, rows_out):
-        """Lane-packed scatter-add over columns [lo_col:), rows offset."""
+        """Packed-table gradient over columns [lo_col:), rows offset.
+
+        Scatters the raw (M, dim) updates at LOGICAL-row granularity into
+        a dense (rows*k, dim) buffer, then repacks to the (rows, k*dim)
+        lane-packed layout with one contiguous reshape.  Scattering
+        pre-lane-expanded (M, k*dim) rows measured 2× slower (796 µs vs
+        a 382 µs raw scatter at the criteo tail shapes): the expansion
+        writes k× the bytes and reads a dim-minor operand at 1/k lane
+        occupancy.  The reshape (rows, k, dim) → (rows, k*dim) is the
+        packing order, so this is bit-identical.
+        """
         idsr = ids2[:, lo_col:].reshape(-1)
         gr = g3[:, lo_col:].reshape(-1, dim)
-        if k > 1:
-            sel = jax.nn.one_hot(idsr % k, k, dtype=jnp.float32)
-            upd = (gr[:, None, :] * sel[:, :, None]).reshape(-1, k * dim)
-        else:
-            upd = gr
+        if k == 1:
+            out = jnp.zeros((rows_out, dim), jnp.float32)
+            return out.at[idsr - row_base].add(gr)
+        if _scatter_logical():
+            out = jnp.zeros((rows_out * k, dim), jnp.float32)
+            out = out.at[idsr - row_base * k].add(gr)
+            return out.reshape(rows_out, k * dim)
+        lane_block = jax.lax.broadcasted_iota(
+            jnp.int32, (1, k * dim), 1) // dim
+        tiled = jnp.concatenate([gr] * k, axis=1)
+        upd = jnp.where(lane_block == (idsr % k)[:, None], tiled, 0)
         out = jnp.zeros((rows_out, k * dim), jnp.float32)
         return out.at[idsr // k - row_base].add(upd)
 

@@ -91,6 +91,10 @@ class MultiheadAttention(nn.Module):
         he = nn.initializers.he_uniform()
         dense = lambda name: nn.Dense(num_units, kernel_init=he, name=name)
 
+        if self.params.get('layout', 'batch_minor') == 'batch_minor':
+            return self._batch_minor(x, dense, num_heads, d_head,
+                                     dropout_rate, use_residual, training)
+
         q = jax.nn.relu(dense('dense_Q')(x))
         k = jax.nn.relu(dense('dense_K')(x))
         v = jax.nn.relu(dense('dense_V')(x))
@@ -109,6 +113,54 @@ class MultiheadAttention(nn.Module):
         out = jnp.einsum('bhfg,bhgd->bhfd', weights, vh,
                          preferred_element_type=jnp.float32)
         out = out.transpose(0, 2, 1, 3).reshape(B, F, num_units)
+
+        if use_residual:
+            out = out + jax.nn.relu(dense('dense_residual')(x))
+        out = jax.nn.relu(out)
+        out = nn.BatchNorm(use_running_average=not training,
+                           momentum=0.9, epsilon=1e-3,
+                           name='batch_normalize')(out)
+        return out
+
+    def _batch_minor(self, x, dense, num_heads, d_head, dropout_rate,
+                     use_residual, training):
+        """Identical math with the batch on the LANE (minor) axis for the
+        score/context contractions.
+
+        Field-axis attention has F≈10–100 fields and d_head≈4–16 — the
+        ``(F, d)x(d, G)`` per-example matmuls of the batch-major layout
+        use <2% of a 128×128 MXU tile, and XLA lowers the (B·H)-batched
+        dot as a loop of padded micro-matmuls (measured: the attention
+        tower is 14.0 ms of the 17.1 ms AutoInt step,
+        benchmarks/profile_autoint.py).  Here the QKV projections stay
+        batch-major (one large MXU matmul each, parameters identical to
+        the batch-major path), and only the two tiny-contraction einsums
+        run batch-minor: scores/context become broadcast-multiply-reduce
+        chains that XLA fuses into VPU FMAs vectorized over the B lanes.
+        """
+        B, F, _ = x.shape
+        q = jax.nn.relu(dense('dense_Q')(x))              # (B, F, U)
+        k = jax.nn.relu(dense('dense_K')(x))
+        v = jax.nn.relu(dense('dense_V')(x))
+
+        H, dh = num_heads, d_head
+        split = lambda t: t.reshape(B, F, H, dh).transpose(2, 1, 3, 0)
+        qh, kh, vh = split(q), split(k), split(v)         # (H, F, dh, B)
+
+        # scores: Σ_d q[h,f,d,:]·k[h,g,d,:] — fused mul+reduce over the
+        # second-minor (dh) axis, vectorized over B lanes
+        weights = jnp.sum(qh[:, :, None] * kh[:, None], axis=3,
+                          dtype=jnp.float32)              # (H, F, G, B)
+        weights = weights / (dh ** 0.5)
+        weights = jax.nn.softmax(weights, axis=2)
+        if dropout_rate > 0:
+            weights = nn.Dropout(dropout_rate)(weights,
+                                               deterministic=not training)
+        weights = weights.astype(vh.dtype)
+        # context: Σ_g w[h,f,g,:]·v[h,g,d,:]
+        out = jnp.sum(weights[:, :, :, None] * vh[:, None], axis=2,
+                      dtype=jnp.float32)                  # (H, F, dh, B)
+        out = out.astype(x.dtype).transpose(3, 1, 0, 2).reshape(B, F, H * dh)
 
         if use_residual:
             out = out + jax.nn.relu(dense('dense_residual')(x))

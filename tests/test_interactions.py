@@ -185,6 +185,33 @@ class TestMultiheadAttention:
         np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-3,
                                    atol=1e-5)
 
+    def test_batch_minor_matches_batch_major(self, x):
+        """The TPU-friendly batch-minor layout (default) computes exactly
+        the batch-major math, with interchangeable parameters."""
+        base = {'num_heads': 2, 'dropout_rate': 0, 'use_residual': True}
+        minor = L.MultiheadAttention(params=dict(base,
+                                                 layout='batch_minor'))
+        major = L.MultiheadAttention(params=dict(base,
+                                                 layout='batch_major'))
+        rng = jax.random.PRNGKey(7)
+        variables = minor.init({'params': rng}, x, training=False)
+        out_minor = minor.apply(variables, x, training=False)
+        out_major = major.apply(variables, x, training=False)
+        np.testing.assert_allclose(np.asarray(out_minor),
+                                   np.asarray(out_major),
+                                   rtol=1e-5, atol=1e-6)
+        # training mode: batch stats updates must match too
+        om, varm = minor.apply(variables, x, training=True,
+                               mutable=['batch_stats'])
+        oM, varM = major.apply(variables, x, training=True,
+                               mutable=['batch_stats'])
+        np.testing.assert_allclose(np.asarray(om), np.asarray(oM),
+                                   rtol=1e-5, atol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+            varm['batch_stats'], varM['batch_stats'])
+
 
 class TestFGCNN:
     def test_shapes(self, x):
