@@ -147,19 +147,29 @@ class MultiheadAttention(nn.Module):
         split = lambda t: t.reshape(B, F, H, dh).transpose(2, 1, 3, 0)
         qh, kh, vh = split(q), split(k), split(v)         # (H, F, dh, B)
 
-        # scores: Σ_d q[h,f,d,:]·k[h,g,d,:] — fused mul+reduce over the
-        # second-minor (dh) axis, vectorized over B lanes
-        weights = jnp.sum(qh[:, :, None] * kh[:, None], axis=3,
-                          dtype=jnp.float32)              # (H, F, G, B)
-        weights = weights / (dh ** 0.5)
-        weights = jax.nn.softmax(weights, axis=2)
-        if dropout_rate > 0:
-            weights = nn.Dropout(dropout_rate)(weights,
-                                               deterministic=not training)
-        weights = weights.astype(vh.dtype)
-        # context: Σ_g w[h,f,g,:]·v[h,g,d,:]
-        out = jnp.sum(weights[:, :, :, None] * vh[:, None], axis=2,
-                      dtype=jnp.float32)                  # (H, F, dh, B)
+        use_kernel = (self.params.get('use_fused_kernel', True)
+                      and dropout_rate == 0
+                      and jax.default_backend() == 'tpu'
+                      and B % 128 == 0)
+        if use_kernel:
+            # single fused pallas kernel: scores, softmax and context stay
+            # in VMEM (ops/kernels/field_attention.py; flash-style VJP)
+            from .kernels.field_attention import field_attention
+            out = field_attention(qh, kh, vh, 1.0 / (dh ** 0.5))
+        else:
+            # scores: Σ_d q[h,f,d,:]·k[h,g,d,:] — fused mul+reduce over
+            # the second-minor (dh) axis, vectorized over B lanes
+            weights = jnp.sum(qh[:, :, None] * kh[:, None], axis=3,
+                              dtype=jnp.float32)          # (H, F, G, B)
+            weights = weights / (dh ** 0.5)
+            weights = jax.nn.softmax(weights, axis=2)
+            if dropout_rate > 0:
+                weights = nn.Dropout(dropout_rate)(
+                    weights, deterministic=not training)
+            weights = weights.astype(vh.dtype)
+            # context: Σ_g w[h,f,g,:]·v[h,g,d,:]
+            out = jnp.sum(weights[:, :, :, None] * vh[:, None], axis=2,
+                          dtype=jnp.float32)              # (H, F, dh, B)
         out = out.astype(x.dtype).transpose(3, 1, 0, 2).reshape(B, F, H * dh)
 
         if use_residual:

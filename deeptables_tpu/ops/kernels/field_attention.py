@@ -1,0 +1,194 @@
+# -*- coding:utf-8 -*-
+"""Fused field-axis attention kernel (AutoInt interacting layer).
+
+Computes softmax(q·kᵀ/√dh)·v over the FIELD axis (F ≈ 10–100 fields,
+dh ≈ 4–16) for all heads in one pallas_call, with the batch on the LANE
+axis: every contraction is a short loop of broadcast-FMAs vectorized over
+a block of B lanes, and the (H, F, G, B) score tensor lives only in VMEM.
+
+Why: batch-major XLA lowers the (B·H)-batched (F,dh)×(dh,G) dots as
+padded micro-matmuls (<2% MXU tile use; the AutoInt tower measured
+14.0 ms of a 17.1 ms step).  The batch-minor XLA rewrite
+(ops/interactions.py) fixed the matmul shape problem (tower 4.07 ms) but
+still materializes the f32 scores + softmax stages in HBM
+(~95 MB/block/pass).  This kernel keeps them in VMEM.
+
+Backward is a custom VJP in the same style (flash-attention-like: saves
+only q, k, v and recomputes the softmax inside the backward kernel).
+
+Layouts: q, k, v are (H, F, dh, B) — dh on sublanes, B on lanes — the
+same layout `MultiheadAttention._batch_minor` already uses.  Oracle
+tests: tests/test_field_attention.py (interpret mode).
+
+Reference semantics: deeptables/models/layers.py:65-153 (scaled softmax
+over fields, per-head).
+
+Caveats: used only when dropout_rate == 0 (the weight-dropout variant
+stays on the XLA path) and on the TPU backend with B % 128 == 0.  Like
+every pallas_call, it has no GSPMD partitioning rule — under a
+batch-sharded pjit on a real multi-chip mesh, prefer
+``params={'use_fused_kernel': False}`` until measured there (the
+single-chip and CPU/virtual-mesh paths are unaffected).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+
+
+def _slice(x, idx, axis):
+    """Static index along `axis` without gather (Mosaic-safe)."""
+    return jax.lax.index_in_dim(x, idx, axis=axis, keepdims=False)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
+    h_, f_, d_, bb = q_ref.shape
+    q = q_ref[...].astype(jnp.float32)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+
+    # scores[h,f,g,:] = Σ_d q[h,f,d,:] k[h,g,d,:]  — loop over dh
+    s = jnp.zeros((h_, f_, f_, bb), jnp.float32)
+    for d in range(d_):
+        q_d = _slice(q, d, 2)                             # (H, F, B)
+        k_d = _slice(k, d, 2)                             # (H, G, B)
+        s = s + q_d[:, :, None, :] * k_d[:, None, :, :]
+    s = s * scale
+    # softmax over the G axis
+    m = jnp.max(s, axis=2, keepdims=True)
+    e = jnp.exp(s - m)
+    z = jnp.sum(e, axis=2, keepdims=True)
+    w = e / z
+    # out[h,f,d,:] = Σ_g w[h,f,g,:] v[h,g,d,:]  — loop over G
+    o = jnp.zeros((h_, f_, d_, bb), jnp.float32)
+    for g in range(f_):
+        w_g = _slice(w, g, 2)                             # (H, F, B)
+        v_g = _slice(v, g, 1)                             # (H, dh, B)
+        o = o + w_g[:, :, None, :] * v_g[:, None, :, :]
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
+                scale):
+    h_, f_, d_, bb = q_ref.shape
+    q = q_ref[...].astype(jnp.float32)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    do = do_ref[...].astype(jnp.float32)
+
+    # recompute the softmax weights (cheaper than saving (H,F,G,B) f32)
+    s = jnp.zeros((h_, f_, f_, bb), jnp.float32)
+    for d in range(d_):
+        s = s + _slice(q, d, 2)[:, :, None, :] * \
+            _slice(k, d, 2)[:, None, :, :]
+    s = s * scale
+    m = jnp.max(s, axis=2, keepdims=True)
+    e = jnp.exp(s - m)
+    z = jnp.sum(e, axis=2, keepdims=True)
+    w = e / z                                             # (H, F, G, B)
+
+    # dv[h,g,d,:] = Σ_f w[h,f,g,:] do[h,f,d,:]
+    dv = jnp.zeros((h_, f_, d_, bb), jnp.float32)
+    for f in range(f_):
+        w_f = _slice(w, f, 1)                             # (H, G, B)
+        do_f = _slice(do, f, 1)                           # (H, dh, B)
+        dv = dv + w_f[:, :, None, :] * do_f[:, None, :, :]
+    # dw[h,f,g,:] = Σ_d do[h,f,d,:] v[h,g,d,:]
+    dw = jnp.zeros((h_, f_, f_, bb), jnp.float32)
+    for d in range(d_):
+        dw = dw + _slice(do, d, 2)[:, :, None, :] * \
+            _slice(v, d, 2)[:, None, :, :]
+    # softmax backward: ds = w * (dw - Σ_g w·dw), then scale
+    ds = w * (dw - jnp.sum(w * dw, axis=2, keepdims=True))
+    ds = ds * scale
+    # dq[h,f,d,:] = Σ_g ds[h,f,g,:] k[h,g,d,:]
+    dq = jnp.zeros((h_, f_, d_, bb), jnp.float32)
+    for g in range(f_):
+        ds_g = _slice(ds, g, 2)                           # (H, F, B)
+        k_g = _slice(k, g, 1)                             # (H, dh, B)
+        dq = dq + ds_g[:, :, None, :] * k_g[:, None, :, :]
+    # dk[h,g,d,:] = Σ_f ds[h,f,g,:] q[h,f,d,:]
+    dk = jnp.zeros((h_, f_, d_, bb), jnp.float32)
+    for f in range(f_):
+        ds_f = _slice(ds, f, 1)                           # (H, G, B)
+        q_f = _slice(q, f, 1)                             # (H, dh, B)
+        dk = dk + ds_f[:, :, None, :] * q_f[:, None, :, :]
+
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+    dk_ref[...] = dk.astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
+
+
+def _pick_block(b, h, f, d, budget_bytes=9_000_000):
+    """Largest lane block (multiple of 128 dividing b) fitting VMEM."""
+    bb = min(b, 1024)
+    while bb > _LANE:
+        per_lane = (3 * h * f * d * 2            # q,k,v bf16
+                    + 2 * h * f * f * 4          # scores + weights f32
+                    + 3 * h * f * d * 4)         # out/accumulators f32
+        if bb % _LANE == 0 and b % bb == 0 and bb * per_lane <= budget_bytes:
+            break
+        bb //= 2
+    return max(bb, _LANE)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def field_attention(q, k, v, scale, interpret=False):
+    """softmax(q·kᵀ·scale)·v over fields; q/k/v/out are (H, F, dh, B)."""
+    return _fa_fwd_impl(q, k, v, scale, interpret)
+
+
+def _fa_fwd_impl(q, k, v, scale, interpret):
+    h, f, d, b = q.shape
+    bb = _pick_block(b, h, f, d)
+    if b % bb:
+        raise ValueError(f'batch {b} not a multiple of lane block {bb}')
+    spec = pl.BlockSpec((h, f, d, bb), lambda i: (0, 0, 0, i),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale),
+        grid=(b // bb,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((h, f, d, b), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _fa_fwd(q, k, v, scale, interpret):
+    return _fa_fwd_impl(q, k, v, scale, interpret), (q, k, v)
+
+
+def _fa_bwd(scale, interpret, res, do):
+    q, k, v = res
+    h, f, d, b = q.shape
+    bb = _pick_block(b, h, f, d)
+    spec = pl.BlockSpec((h, f, d, bb), lambda i: (0, 0, 0, i),
+                        memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((h, f, d, b), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale),
+        grid=(b // bb,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=[spec, spec, spec],
+        out_shape=[shape, shape, shape],
+        interpret=interpret,
+    )(q, k, v, do)
+    return dq, dk, dv
+
+
+field_attention.defvjp(_fa_fwd, _fa_bwd)
+
+
+def field_attention_oracle(q, k, v, scale):
+    """jnp reference implementation (same math, batch-minor layouts)."""
+    s = jnp.einsum('hfdb,hgdb->hfgb', q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    w = jax.nn.softmax(s, axis=2)
+    return jnp.einsum('hfgb,hgdb->hfdb', w,
+                      v.astype(jnp.float32)).astype(q.dtype)
