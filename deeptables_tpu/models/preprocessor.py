@@ -38,6 +38,20 @@ def _is_categorical_dtype(dtype: str) -> bool:
     return d.startswith(('object', 'str', 'category', 'bool'))
 
 
+def _imputer_wants_string_fill(dtype) -> bool:
+    """Whether the constant imputer fills with ``''`` (string-like values)
+    or ``0`` (everything else).  The reference splits on the obj/str dtype
+    prefix only (reference preprocessor.py:350-356), so bool and
+    numeric-coded ``category`` columns take the numeric fill — a ``''``
+    fill on int-coded categories crashes sklearn.  pandas Categorical
+    dtypes are resolved by their categories' dtype."""
+    cats = getattr(dtype, 'categories', None)
+    if cats is not None:
+        return _imputer_wants_string_fill(cats.dtype)
+    d = str(dtype).lower()
+    return d.startswith(('object', 'str'))
+
+
 def infer_task_type(y):
     """Infer (task, labels) from y (parity: hypernets infer_task_type used
     at reference preprocessor.py:204)."""
@@ -364,7 +378,7 @@ class DefaultPreprocessor(AbstractPreprocessor):
         if self.config.auto_imputation:
             obj_cats, num_cats = [], []
             for c in categorical_vars + var_len_vars:
-                (obj_cats if _is_categorical_dtype(_col_dtype(c))
+                (obj_cats if _imputer_wants_string_fill(_col_dtype(c))
                  else num_cats).append(c)
             means = {c: col_stats[c].mean for c in continuous_vars}
             self.X_transformers['imputation'] = tx.FixedImputer(
@@ -599,7 +613,7 @@ class DefaultPreprocessor(AbstractPreprocessor):
 
         obj_cats, num_cats = [], []
         for c in categorical_vars + var_len_vars:
-            if _is_categorical_dtype(X[c].dtype):
+            if _imputer_wants_string_fill(X[c].dtype):
                 obj_cats.append(c)
             else:
                 num_cats.append(c)

@@ -100,3 +100,25 @@ class TestPreprocessor:
         assert vc.name == 'genres'
         assert vc.max_elements_length >= 1
         assert isinstance(X['genres'].iloc[0], np.ndarray)
+
+    def test_int_category_and_bool_columns(self):
+        """Int-coded pandas Categorical and bool columns must take the
+        numeric imputer fill (reference splits on obj/str dtype prefix,
+        preprocessor.py:350-356); a '' fill on int categories crashes
+        sklearn."""
+        import pandas as pd
+        rng = np.random.default_rng(0)
+        n = 300
+        df = pd.DataFrame({
+            'c_int': pd.Categorical(rng.integers(0, 7, n)),
+            'c_str': pd.Categorical(
+                rng.choice(['a', 'b', 'c'], n).astype(object)),
+            'flag': rng.integers(0, 2, n).astype(bool),
+            'x': rng.normal(size=n),
+        })
+        y = rng.integers(0, 2, n)
+        p = DefaultPreprocessor(ModelConfig(), use_cache=False)
+        X, _ = p.fit_transform(df, y)
+        cats = p.get_categorical_columns()
+        assert len(cats) == 3  # c_int, c_str, flag all categorical
+        assert all(np.issubdtype(X[c].dtype, np.integer) for c in cats)
