@@ -31,14 +31,19 @@ logger = dt_logging.get_logger(__name__)
 
 
 class ChunkedSource:
-    """Iterate (host-sharded) CSV/Parquet files as DataFrame chunks."""
+    """Iterate (host-sharded) CSV/Parquet files — or in-memory DataFrames —
+    as DataFrame chunks.  DataFrame inputs preserve pandas dtypes exactly
+    (bool/Categorical), matching what the in-memory fit path would see."""
 
-    def __init__(self, paths: Union[str, Sequence[str]],
+    def __init__(self, paths: Union[str, Sequence[str], pd.DataFrame,
+                                    Sequence[pd.DataFrame]],
                  chunk_size: int = 100_000,
                  host_id: int = 0, num_hosts: int = 1):
         if isinstance(paths, str):
             paths = sorted(_glob.glob(paths)) or [paths]
-        self.paths: List[str] = list(paths)
+        elif isinstance(paths, pd.DataFrame):
+            paths = [paths]
+        self.paths = list(paths)
         if num_hosts > 1:
             # per-host disjoint file shards (multi-host data loading)
             self.paths = self.paths[host_id::num_hosts]
@@ -46,7 +51,10 @@ class ChunkedSource:
 
     def iter_chunks(self) -> Iterator[pd.DataFrame]:
         for path in self.paths:
-            if path.endswith('.parquet'):
+            if isinstance(path, pd.DataFrame):
+                for s in range(0, len(path), self.chunk_size):
+                    yield path.iloc[s:s + self.chunk_size]
+            elif path.endswith('.parquet'):
                 df = pd.read_parquet(path)
                 for s in range(0, len(df), self.chunk_size):
                     yield df.iloc[s:s + self.chunk_size]
@@ -190,6 +198,7 @@ class ColumnStats:
         self.reservoir_size = reservoir_size
         self._rng = np.random.default_rng(seed)
         self.dtypes = set()
+        self.string_fill = False
         self.has_nan = False
         self.uniques = set()
         self.unique_overflow = False
@@ -218,6 +227,16 @@ class ColumnStats:
         return self.resolved_dtype == 'object'
 
     @property
+    def wants_string_fill(self) -> bool:
+        """Whether the constant imputer fill must be ``''`` (string-like
+        values seen) rather than ``0``.  Mirrors the in-memory rule
+        (``preprocessor._imputer_wants_string_fill``): bool and
+        numeric-coded Categorical chunks take the numeric fill even though
+        ``resolved_dtype`` reports them as 'object'.  Falls back to the
+        resolved dtype for stats pickled before this field existed."""
+        return getattr(self, 'string_fill', self.resolved_dtype == 'object')
+
+    @property
     def nunique(self) -> int:
         return len(self.uniques) if not self.unique_overflow \
             else self.unique_cap
@@ -228,6 +247,13 @@ class ColumnStats:
 
     def update(self, col: pd.Series, var_len_sep: Optional[str] = None):
         self.dtypes.add(str(col.dtype))
+        # record the imputer fill kind from the ACTUAL chunk dtype (a
+        # Categorical resolves via its categories' dtype) — see
+        # wants_string_fill
+        cats = getattr(col.dtype, 'categories', None)
+        base = str(cats.dtype if cats is not None else col.dtype).lower()
+        if base.startswith(('object', 'str')):
+            self.string_fill = True
         nonnull = col.dropna()
         if len(nonnull) < len(col):
             self.has_nan = True

@@ -37,6 +37,7 @@ from .metainfo import CategoricalColumn, VarLenCategoricalColumn
 from ..data import pipeline
 from ..ops import losses as losses_lib
 from ..ops import metrics as metrics_lib
+from ..ops import partitioning
 from ..ops import regularizers as regularizers_lib
 from ..ops.embedding import (EmbeddingList, MultiColumnEmbedding,
                              VarLenColumnEmbedding, concat_embeddings,
@@ -73,6 +74,13 @@ class DeepTabularModel(nn.Module):
         compute_dtype = jnp.bfloat16 \
             if config.dtype_policy == 'bfloat16' else jnp.float32
 
+        # publish the mesh so Pallas call sites get a partitioning story
+        # under >1-device meshes (shard_map wrap or XLA fallback; see
+        # ops/partitioning.py) instead of forcing GSPMD full-batch gathers
+        trace_strategy = get_strategy(config.distribute_strategy)
+        partitioning.set_mesh_context(trace_strategy.mesh, DATA_AXIS)
+        multi_device = partitioning.mesh_context() is not None
+
         # ---- embeddings (reference deepmodel.py:388-420) ----
         embeddings = EmbeddingList()
         cat_cols = self.categorical_columns or ()
@@ -81,16 +89,18 @@ class DeepTabularModel(nn.Module):
             output_dims = tuple(int(c.embeddings_output_dim) for c in cat_cols)
             a2a_mesh = None
             if config.embedding_device_strategy == 'sharded_a2a':
-                a2a_mesh = get_strategy(config.distribute_strategy).mesh
+                a2a_mesh = trace_strategy.mesh
             embeddings = MultiColumnEmbedding(
                 input_dims=input_dims, output_dims=output_dims,
                 dropout_rate=config.embedding_dropout,
                 embeddings_initializer=config.embeddings_initializer,
                 # a pallas_call cannot be SPMD-partitioned through a row
-                # sharding; sharded tables take the scatter gradient (XLA
-                # partitions it into shard-local scatters)
+                # sharding OR a batch sharding: sharded tables and any
+                # >1-device mesh take the scatter gradient, which XLA
+                # partitions into shard-local scatters (+ grad psum)
                 use_grad_kernel=(
-                    not config.embedding_device_strategy.startswith(
+                    not multi_device
+                    and not config.embedding_device_strategy.startswith(
                         'sharded')),
                 a2a_mesh=a2a_mesh,
                 a2a_capacity_factor=config.embedding_a2a_capacity_factor,

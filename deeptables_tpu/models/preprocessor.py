@@ -312,7 +312,7 @@ class DefaultPreprocessor(AbstractPreprocessor):
                 continue
             if c in var_len_spec:
                 sep, pooling = var_len_spec[c]
-                self._DefaultPreprocessor__append_var_len_categorical_col(c, nunique, sep, pooling)
+                self._append_var_len_categorical_col(c, nunique, sep, pooling)
                 continue
             if isinstance(self.config.categorical_columns, list):
                 if c in self.config.categorical_columns:
@@ -357,9 +357,9 @@ class DefaultPreprocessor(AbstractPreprocessor):
             else:
                 cat_vars = cat_vars + convert2cat_vars
 
-        self._DefaultPreprocessor__append_categorical_cols(
+        self._append_categorical_cols(
             [(c[0], c[2] + 2) for c in cat_vars])
-        self._DefaultPreprocessor__append_continuous_cols(
+        self._append_continuous_cols(
             [c[0] for c in num_vars], consts.INPUT_PREFIX_NUM + 'all')
 
         continuous_vars = self.get_continuous_columns()
@@ -369,16 +369,20 @@ class DefaultPreprocessor(AbstractPreprocessor):
                       (ce.new_columns if convert2cat_vars
                        and self.config.cat_remain_numeric else [])}
 
-        def _col_dtype(c):
+        def _wants_string_fill(c):
             if c in twin_names:
-                return 'int32'  # label codes from CategorizeEncoder
-            return col_stats[c].resolved_dtype
+                return False  # label codes from CategorizeEncoder
+            # per-chunk actual-dtype bit recorded by ColumnStats.update —
+            # resolved_dtype collapses bool/int-category to 'object', which
+            # would give those columns the '' fill here while the in-memory
+            # path (_imputation) gives them the numeric fill
+            return col_stats[c].wants_string_fill
 
         # --- imputation (mirror _imputation; exact means) -----------------
         if self.config.auto_imputation:
             obj_cats, num_cats = [], []
             for c in categorical_vars + var_len_vars:
-                (obj_cats if _imputer_wants_string_fill(_col_dtype(c))
+                (obj_cats if _wants_string_fill(c)
                  else num_cats).append(c)
             means = {c: col_stats[c].mean for c in continuous_vars}
             self.X_transformers['imputation'] = tx.FixedImputer(
@@ -443,7 +447,7 @@ class DefaultPreprocessor(AbstractPreprocessor):
                 new_name = f'{c}_discrete'
                 mkbd.discretizers[c] = kbd
                 mkbd.new_columns.append((c, new_name, int(kbd.n_bins_[0])))
-            self._DefaultPreprocessor__append_categorical_cols(
+            self._append_categorical_cols(
                 [(new_name, bins + 1) for _n, new_name, bins in
                  mkbd.new_columns])
             self.X_transformers['discreter'] = mkbd
@@ -560,7 +564,7 @@ class DefaultPreprocessor(AbstractPreprocessor):
                 continue
             if c in var_len_column_names:
                 sep, pooling = var_len_spec[c]
-                self.__append_var_len_categorical_col(c, nunique, sep, pooling)
+                self._append_var_len_categorical_col(c, nunique, sep, pooling)
                 continue
 
             if isinstance(self.config.categorical_columns, list):
@@ -598,8 +602,8 @@ class DefaultPreprocessor(AbstractPreprocessor):
             f'{len(cat_vars)} categorical variables and {len(num_vars)} '
             f'continuous variables found. {len(convert2cat_vars)} of them '
             f'are from continuous to categorical.')
-        self.__append_categorical_cols([(c[0], c[2] + 2) for c in cat_vars])
-        self.__append_continuous_cols([c[0] for c in num_vars],
+        self._append_categorical_cols([(c[0], c[2] + 2) for c in cat_vars])
+        self._append_continuous_cols([c[0] for c in num_vars],
                                       consts.INPUT_PREFIX_NUM + 'all')
         logger.info(f'Preparing features taken {time.time() - start}s')
         return X
@@ -650,7 +654,7 @@ class DefaultPreprocessor(AbstractPreprocessor):
         logger.info('Data discretization...')
         mkbd = tx.MultiKBinsDiscretizer(self.get_continuous_columns())
         X = mkbd.fit_transform(X)
-        self.__append_categorical_cols(
+        self._append_categorical_cols(
             [(new_name, bins + 1) for name, new_name, bins in
              mkbd.new_columns])
         self.X_transformers['discreter'] = mkbd
@@ -678,11 +682,11 @@ class DefaultPreprocessor(AbstractPreprocessor):
         X = gbmencoder.fit_transform(X, y)
         self.X_transformers['gbm_features'] = gbmencoder
         if self.config.gbm_feature_type == consts.GBM_FEATURE_TYPE_EMB:
-            self.__append_categorical_cols(
+            self._append_categorical_cols(
                 [(name, int(X[name].max()) + 2)
                  for name in gbmencoder.new_columns])
         else:
-            self.__append_continuous_cols(
+            self._append_continuous_cols(
                 gbmencoder.new_columns,
                 consts.INPUT_PREFIX_NUM + 'gbm_leaves')
         logger.info(f'Extracting gbm features taken {time.time() - start}s')
@@ -695,7 +699,7 @@ class DefaultPreprocessor(AbstractPreprocessor):
             return dim if dim > 0 else consts.EMBEDDING_OUT_DIM_DEFAULT
         return min(4 * int(pow(voc_size, 0.25)), 20)
 
-    def __append_var_len_categorical_col(self, name, voc_size, sep, pooling):
+    def _append_var_len_categorical_col(self, name, voc_size, sep, pooling):
         logger.debug(f'Var len categorical variable {name} appended.')
         if self.var_len_categorical_columns is None:
             self.var_len_categorical_columns = []
@@ -704,7 +708,7 @@ class DefaultPreprocessor(AbstractPreprocessor):
             sep=sep, pooling_strategy=pooling or 'max')
         self.var_len_categorical_columns.append(vc)
 
-    def __append_categorical_cols(self, cols):
+    def _append_categorical_cols(self, cols):
         logger.debug(f'{len(cols)} categorical variables appended.')
         if self.categorical_columns is None:
             self.categorical_columns = []
@@ -714,7 +718,7 @@ class DefaultPreprocessor(AbstractPreprocessor):
                                   self._embedding_output_dim(voc_size))
                 for name, voc_size in cols]
 
-    def __append_continuous_cols(self, cols, input_name):
+    def _append_continuous_cols(self, cols, input_name):
         if self.continuous_columns is None:
             self.continuous_columns = []
         if cols:

@@ -424,14 +424,25 @@ class MultiVarLenFeatureEncoder:
         return X
 
 
+def _have_lightgbm() -> bool:
+    try:
+        import lightgbm  # noqa: F401
+        return True
+    except Exception:
+        return False
+
+
 class GbmLeavesEncoder:
     """Append per-tree leaf indices as new features
     (parity: hypernets LgbmLeavesEncoder at reference preprocessor.py:436).
 
-    LightGBM is not available in this environment, so sklearn's
-    GradientBoosting models provide the trees; ``model.apply(X)`` yields the
-    leaf index of every sample in every tree.  New columns are named
-    ``gbm_leaf_<i>``.
+    Backend: LightGBM trees when the optional ``lightgbm`` package is
+    importable (matching the reference exactly — same optional-import
+    pattern as utils/dart_early_stopping.py), else sklearn's
+    GradientBoosting models.  Either way the per-sample leaf index of every
+    tree becomes a new ``gbm_leaf_<i>`` column, label-encoded via a
+    vectorized ``np.searchsorted`` over the sorted unique leaf values
+    (unseen leaves map to the out-of-vocabulary code ``len(classes)``).
     """
 
     def __init__(self, cat_vars, cont_vars, task, **gbm_params):
@@ -441,52 +452,79 @@ class GbmLeavesEncoder:
         params = dict(gbm_params)
         params.setdefault('n_estimators', 10)
         params.setdefault('max_depth', 3)
-        # map LightGBM-style names to their sklearn equivalents so a
-        # reference user's gbm_params carries over (learning_rate passes
-        # straight through; num_boost_round/num_leaves translate)
+        # normalize LightGBM-style names (the reference's native vocabulary)
+        # to a common form; each backend re-derives its own names at fit
         if 'num_boost_round' in params:
             params['n_estimators'] = params.pop('num_boost_round')
         if 'num_leaves' in params:
             params['max_leaf_nodes'] = params.pop('num_leaves')
         self.gbm_params = params
+        self.backend = None
         self.model = None
         self.new_columns: List[str] = []
-        self._leaf_encoders: List[Dict[float, int]] = []
+        self._leaf_encoders: list = []
 
     def _feature_frame(self, X):
         cols = [c for c in (self.cat_vars + self.cont_vars) if c in X.columns]
         return X[cols].apply(pd.to_numeric, errors='coerce').fillna(0)
 
-    def fit_transform(self, X, y):
-        from sklearn.ensemble import (GradientBoostingClassifier,
-                                      GradientBoostingRegressor)
+    def _fit_model(self, feats, y):
         from ..utils import consts
-        feats = self._feature_frame(X)
-        if self.task == consts.TASK_REGRESSION:
-            self.model = GradientBoostingRegressor(**self.gbm_params)
+        regression = self.task == consts.TASK_REGRESSION
+        if self.backend is None:
+            self.backend = 'lightgbm' if _have_lightgbm() else 'sklearn'
+        if self.backend == 'lightgbm':
+            import lightgbm
+            p = dict(self.gbm_params)
+            if 'max_leaf_nodes' in p:
+                p['num_leaves'] = p.pop('max_leaf_nodes')
+            p.setdefault('verbose', -1)
+            cls = lightgbm.LGBMRegressor if regression \
+                else lightgbm.LGBMClassifier
+            self.model = cls(**p)
         else:
-            self.model = GradientBoostingClassifier(**self.gbm_params)
+            from sklearn.ensemble import (GradientBoostingClassifier,
+                                          GradientBoostingRegressor)
+            cls = GradientBoostingRegressor if regression \
+                else GradientBoostingClassifier
+            self.model = cls(**self.gbm_params)
         self.model.fit(feats.values, np.asarray(y).reshape(-1))
-        leaves = self.model.apply(feats.values)
-        leaves = leaves.reshape(len(feats), -1)
+
+    def _apply_model(self, feats):
+        if self.backend == 'lightgbm':
+            leaves = self.model.predict(feats.values, pred_leaf=True)
+        else:
+            leaves = self.model.apply(feats.values)
+        return np.asarray(leaves).reshape(len(feats), -1)
+
+    @staticmethod
+    def _leaf_codes(classes, col):
+        """Vectorized value→index mapping; unseen values → len(classes)."""
+        idx = np.searchsorted(classes, col)
+        idx = np.clip(idx, 0, len(classes) - 1)
+        return np.where(classes[idx] == col, idx,
+                        len(classes)).astype(np.int32)
+
+    def fit_transform(self, X, y):
+        feats = self._feature_frame(X)
+        self._fit_model(feats, y)
+        leaves = self._apply_model(feats)
         self.new_columns = []
         self._leaf_encoders = []
         for t in range(leaves.shape[1]):
             name = f'gbm_leaf_{t}'
-            mapping = {v: i for i, v in enumerate(np.unique(leaves[:, t]))}
-            codes = np.vectorize(lambda v: mapping.get(v, len(mapping)))(
-                leaves[:, t])
-            X[name] = codes.astype(np.int32)
+            classes = np.unique(leaves[:, t])
+            X[name] = self._leaf_codes(classes, leaves[:, t])
             self.new_columns.append(name)
-            self._leaf_encoders.append(mapping)
+            self._leaf_encoders.append(classes)
         return X
 
     def transform(self, X):
         feats = self._feature_frame(X)
-        leaves = self.model.apply(feats.values).reshape(len(feats), -1)
+        leaves = self._apply_model(feats)
         for t, name in enumerate(self.new_columns):
-            mapping = self._leaf_encoders[t]
-            codes = np.vectorize(lambda v: mapping.get(v, len(mapping)))(
-                leaves[:, t])
-            X[name] = codes.astype(np.int32)
+            classes = self._leaf_encoders[t]
+            if isinstance(classes, dict):  # pre-round-4 pickled state
+                classes = np.array(sorted(classes))
+            X[name] = self._leaf_codes(np.asarray(classes), leaves[:, t])
         return X

@@ -171,14 +171,16 @@ def _make_multicol_lookup(n_packed, k, dim, dtype_name, vocabs, offsets):
     def scatter_grad(ids2, g3, lo_col, row_base, rows_out):
         """Packed-table gradient over columns [lo_col:), rows offset.
 
-        Scatters the raw (M, dim) updates at LOGICAL-row granularity into
-        a dense (rows*k, dim) buffer, then repacks to the (rows, k*dim)
-        lane-packed layout with one contiguous reshape.  Scattering
-        pre-lane-expanded (M, k*dim) rows measured 2× slower (796 µs vs
-        a 382 µs raw scatter at the criteo tail shapes): the expansion
-        writes k× the bytes and reads a dim-minor operand at 1/k lane
-        occupancy.  The reshape (rows, k, dim) → (rows, k*dim) is the
-        packing order, so this is bit-identical.
+        Default ('lane', shared knob ``DT_EMB_SCATTER``): lane-expand the
+        (M, dim) updates to (M, k*dim) and scatter at packed-row
+        granularity.  The 'logical' alternative (scatter raw rows into a
+        dense (rows*k, dim) buffer + contiguous repack reshape) measured
+        2× faster STANDALONE at the criteo tail shapes (388 µs vs 788),
+        but in-situ the full DeepFM step regressed (see BASELINE.md
+        "Formulation A/B": XLA assigns the dim-minor buffer a lane-padded
+        layout inside the fused backward), so the standalone win was
+        declined and both call sites share the lane default.  Re-measure
+        per-site via ``benchmarks/profile_emb_ab.py`` on new hardware.
         """
         idsr = ids2[:, lo_col:].reshape(-1)
         gr = g3[:, lo_col:].reshape(-1, dim)

@@ -111,7 +111,7 @@ def _cin_fwd(x0, h, w, block_b=None, interpret=False):
     x0_t = x0.transpose(2, 0, 1)  # (D, B, F)
     h_t = h.transpose(2, 0, 1)  # (D, B, G)
     w2 = _w_to_w2(w)  # (G, F*L)
-    spec = pltpu.ANY if interpret else pltpu.VMEM
+    spec = pl.ANY if interpret else pltpu.VMEM
     z_dbl = pl.pallas_call(
         _cin_fwd_kernel,
         grid=(D, B // tb),
@@ -140,7 +140,7 @@ def _cin_bwd(block_b, interpret, residuals, g):
     h_t = h.transpose(2, 0, 1)
     w2 = _w_to_w2(w)
     g_t = g.transpose(2, 0, 1)  # (D, B, L)
-    spec = pltpu.ANY if interpret else pltpu.VMEM
+    spec = pl.ANY if interpret else pltpu.VMEM
     dx0_t, dh_t, dw2 = pl.pallas_call(
         _cin_bwd_kernel,
         grid=(D, B // tb),

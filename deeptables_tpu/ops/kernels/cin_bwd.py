@@ -1,0 +1,143 @@
+# -*- coding:utf-8 -*-
+"""Fused CIN backward kernel (batch-minor, pair operands kept in VMEM).
+
+Round-4 measurement chain (BASELINE.md xDeepFM bullet): the xDeepFM step is
+dominated by the backward of the CIN contraction
+``z_bld = sum_fg x0_bfd h_bgd w_lfg``.  The best XLA formulation
+(``ops/cin_grad.py`` 'bm') is HBM-bound: it materializes the
+(F·G, D·B)-scale ``dpair`` and ``pair`` operands in HBM (~3 GB/step of
+traffic at the bench config — 9.3 ms step vs 10.4 autodiff).
+
+This kernel computes the whole input/weight gradient per batch-lane block
+with the pair operands living only in VMEM:
+
+    dpair = W^T @ dz          (FG, Nb) f32     — one MXU dot
+    dx0   = sum_g dpair(F,G,·) * h             — VPU reduce
+    dh    = sum_f dpair(F,G,·) * x0            — VPU reduce
+    pair  = x0 ⊗ h            (FG, Nb) bf16    — VPU broadcast-mul
+    dW   += dz @ pair^T       (L, FG)  f32     — one MXU dot, accumulated
+                                                 across the sequential grid
+
+Layouts are batch-minor ((rows, D·B) with D·B on lanes) — the orientation
+that fixed AutoInt in round 3.  HBM traffic drops to the x0/h/dz operand
+reads (~150 MB/step) plus the dx0/dh writes; the bound moves to the Mosaic
+dot rate at (F·G, L)x(L, Nb) shapes, measured in-situ by
+``benchmarks/profile_cin_bwd.py`` before adoption.
+
+Reference semantics: deeptables/models/layers.py:690-705 (CIN conv1d over
+per-dim outer products).  Oracle tests (interpret mode):
+tests/test_kernels.py::TestCinBwdKernel.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+
+
+def _bwd_kernel(x0_ref, h_ref, w_ref, dz_ref, dx0_ref, dh_ref, dw_ref):
+    F, nb = x0_ref.shape
+    G = h_ref.shape[0]
+    dz = dz_ref[...]                                       # (L, Nb) bf16
+    w = w_ref[...]                                         # (L, F*G) bf16
+    # dpair_fg,b = sum_l w_l,fg dz_l,b
+    dpair = jax.lax.dot_general(
+        w, dz, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # (FG, Nb)
+    dp3 = dpair.reshape(F, G, nb)
+    x0 = x0_ref[...].astype(jnp.float32)                   # (F, Nb)
+    h = h_ref[...].astype(jnp.float32)                     # (G, Nb)
+    dx0_ref[...] = (dp3 * h[None, :, :]).sum(1).astype(dx0_ref.dtype)
+    dh_ref[...] = (dp3 * x0[:, None, :]).sum(0).astype(dh_ref.dtype)
+    # pair_fg,b = x0_f,b h_g,b ;  dW_l,fg += sum_b dz_l,b pair_fg,b
+    pair = (x0[:, None, :] * h[None, :, :]).reshape(F * G, nb) \
+        .astype(dz.dtype)
+    dwb = jax.lax.dot_general(
+        dz, pair, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                # (L, FG)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw_ref[...] = dwb
+
+    @pl.when(pl.program_id(0) != 0)
+    def _acc():
+        dw_ref[...] += dwb
+
+
+def _pick_block(db, f, g, l, budget_bytes=None):
+    """Largest lane block (multiple of 128 dividing db) fitting VMEM.
+
+    Budget via ``DT_CIN_BWD_VMEM_MB`` (default 13): at the xDeepFM bench
+    config the layer-2 block is the Nb=512 / Nb=256 boundary — in-situ A/B
+    (profile_cin_bwd) picked the default."""
+    if budget_bytes is None:
+        import os
+        budget_bytes = int(float(os.environ.get(
+            'DT_CIN_BWD_VMEM_MB', '13')) * 1e6)
+    nb = min(db, 1024)
+    per_lane = (2 * f * g * 4      # dpair f32 + the mul-reduce temp
+                + f * g * 2        # pair bf16
+                + l * 2            # dz bf16
+                + (2 * f + 2 * g) * 4)
+    fixed = l * f * g * (2 + 4)    # w bf16 + dW accumulator f32
+    while nb > _LANE:
+        if nb % _LANE == 0 and db % nb == 0 \
+                and fixed + nb * per_lane <= budget_bytes:
+            break
+        nb //= 2
+    return max(nb, _LANE)
+
+
+def cin_bwd_pallas(x0T, hT, w2, dzT, interpret=False, block_lanes=None):
+    """Backward of the CIN contraction, batch-minor operands.
+
+    x0T: (F, DB) bf16, hT: (G, DB), w2: (L, F*G), dzT: (L, DB).
+    Returns (dx0T (F, DB), dhT (G, DB), dW (L, F*G) f32).
+    """
+    F, db = x0T.shape
+    G = hT.shape[0]
+    L = w2.shape[0]
+    nb = block_lanes or _pick_block(db, F, G, L)
+    if db % nb:
+        raise ValueError(f'batch-dim {db} not a multiple of block {nb}')
+    cd = x0T.dtype
+    row_spec = lambda rows: pl.BlockSpec((rows, nb), lambda i: (0, i),
+                                         memory_space=pltpu.VMEM)
+    full_spec = pl.BlockSpec((L, F * G), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid=(db // nb,),
+        in_specs=[row_spec(F), row_spec(G), full_spec, row_spec(L)],
+        out_specs=[row_spec(F), row_spec(G), full_spec],
+        out_shape=[jax.ShapeDtypeStruct((F, db), cd),
+                   jax.ShapeDtypeStruct((G, db), cd),
+                   jax.ShapeDtypeStruct((L, F * G), jnp.float32)],
+        interpret=interpret,
+    )(x0T, hT, w2.astype(cd), dzT)
+
+
+def supported(F, G, L, db, dtype) -> bool:
+    """Mosaic-lowering constraints for the backward kernel."""
+    return (db % _LANE == 0
+            and L % 8 == 0
+            and dtype in (jnp.bfloat16, jnp.float32))
+
+
+def cin_bwd_oracle(x0T, hT, w2, dzT):
+    """jnp reference (same batch-minor layouts, f32 accumulation)."""
+    F, db = x0T.shape
+    G = hT.shape[0]
+    dpair = jnp.einsum('lp,lb->pb', w2.astype(jnp.float32),
+                       dzT.astype(jnp.float32)).reshape(F, G, db)
+    dx0 = jnp.einsum('fgb,gb->fb', dpair, hT.astype(jnp.float32))
+    dh = jnp.einsum('fgb,fb->gb', dpair, x0T.astype(jnp.float32))
+    pair = (x0T.astype(jnp.float32)[:, None, :]
+            * hT.astype(jnp.float32)[None, :, :]).reshape(F * G, db)
+    dw = jnp.einsum('lb,pb->lp', dzT.astype(jnp.float32), pair)
+    return dx0.astype(x0T.dtype), dh.astype(hT.dtype), dw

@@ -86,7 +86,7 @@ def gather_pallas(table, ids, block_n=None, interpret=False):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n // block_n,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((block_n, d), lambda i, ids: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((2, d), table.dtype),

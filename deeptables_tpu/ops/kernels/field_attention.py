@@ -24,11 +24,13 @@ Reference semantics: deeptables/models/layers.py:65-153 (scaled softmax
 over fields, per-head).
 
 Caveats: used only when dropout_rate == 0 (the weight-dropout variant
-stays on the XLA path) and on the TPU backend with B % 128 == 0.  Like
-every pallas_call, it has no GSPMD partitioning rule — under a
-batch-sharded pjit on a real multi-chip mesh, prefer
-``params={'use_fused_kernel': False}`` until measured there (the
-single-chip and CPU/virtual-mesh paths are unaffected).
+stays on the XLA path) and on the TPU backend with a shard-local
+B % 128 == 0.  Like every pallas_call it has no GSPMD partitioning rule;
+under a >1-device mesh the caller (`MultiheadAttention._batch_minor`)
+wraps the whole attention block in a `jax.shard_map` over the data axis
+(batch-elementwise math), so the kernel always sees shard-local shapes —
+see ops/partitioning.py and
+tests/test_parallel.py::TestPallasPartitioningStory.
 """
 
 import functools

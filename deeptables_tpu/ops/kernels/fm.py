@@ -55,10 +55,10 @@ def _fm_fwd(x, block_b=None, interpret=False):
         _fm_fwd_kernel,
         grid=(B // tb,),
         in_specs=[pl.BlockSpec((tb, F, D), lambda i: (i, 0, 0),
-                               memory_space=pltpu.ANY
+                               memory_space=pl.ANY
                                if interpret else pltpu.VMEM)],
         out_specs=pl.BlockSpec((tb, 1), lambda i: (i, 0),
-                               memory_space=pltpu.ANY
+                               memory_space=pl.ANY
                                if interpret else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 1), x.dtype),
         interpret=interpret,
@@ -70,7 +70,7 @@ def _fm_bwd(block_b, interpret, residual_x, g):
     x = residual_x
     B, F, D = x.shape
     tb = _block_b(B, block_b)
-    spec = pltpu.ANY if interpret else pltpu.VMEM
+    spec = pl.ANY if interpret else pltpu.VMEM
     dx = pl.pallas_call(
         _fm_bwd_kernel,
         grid=(B // tb,),

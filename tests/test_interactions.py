@@ -152,6 +152,76 @@ class TestCIN:
         _, out = init_and_apply(module, x)
         assert out.shape == (B, 1)
 
+    @pytest.mark.parametrize('formulation', ['assoc', 'bm'])
+    def test_custom_vjp_matches_autodiff(self, x, formulation):
+        """Every hand-written backward formulation (ops/cin_grad.py) must
+        produce the same z/dx0/dh/dW as XLA autodiff of the einsum."""
+        import jax.numpy as jnp
+        from deeptables_tpu.ops.cin_grad import cin_contract
+
+        rng = np.random.default_rng(1)
+        L_, G = 6, 3
+        x0 = jnp.asarray(x)
+        h = jnp.asarray(rng.normal(size=(B, G, D)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(L_, F, G)).astype(np.float32))
+
+        def loss(fn):
+            def f(x0, h, w):
+                z = fn(x0, h, w)
+                # non-uniform cotangent so the backward is fully exercised
+                return jnp.sum(z * jnp.sin(z))
+            return f
+
+        ref_val, ref_grads = jax.value_and_grad(
+            loss(lambda a, b, c: cin_contract(a, b, c, 'auto')),
+            argnums=(0, 1, 2))(x0, h, w)
+        val, grads = jax.value_and_grad(
+            loss(lambda a, b, c: cin_contract(a, b, c, formulation)),
+            argnums=(0, 1, 2))(x0, h, w)
+        np.testing.assert_allclose(val, ref_val, rtol=1e-5)
+        for g, rg, name in zip(grads, ref_grads, ('dx0', 'dh', 'dw')):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(rg), rtol=1e-4, atol=1e-5,
+                err_msg=f'{formulation}:{name}')
+
+    @pytest.mark.parametrize('formulation', ['assoc', 'bm'])
+    def test_custom_vjp_mixed_dtypes(self, x, formulation):
+        """The bf16-policy model feeds bf16 x0 with an f32 h (previous
+        layer's f32 activation): cotangents must come back in the primal
+        dtypes (regression: the slice-transpose of the split-half path
+        asserts this)."""
+        import jax.numpy as jnp
+        from deeptables_tpu.ops.cin_grad import cin_contract
+
+        rng = np.random.default_rng(2)
+        L_, G = 4, 3
+        x0 = jnp.asarray(x, dtype=jnp.bfloat16)
+        h = jnp.asarray(rng.normal(size=(B, G, D)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(L_, F, G)).astype(np.float32))
+
+        def f(x0, h, w):
+            z = cin_contract(x0, h, w, formulation)
+            return jnp.sum(z * z)
+
+        grads = jax.grad(f, argnums=(0, 1, 2))(x0, h, w)
+        assert grads[0].dtype == jnp.bfloat16
+        assert grads[1].dtype == jnp.float32
+        assert grads[2].dtype == jnp.float32
+        ref = jax.grad(
+            lambda a, b, c: jnp.sum(cin_contract(a, b, c, 'auto') ** 2),
+            argnums=(0, 1, 2))(x0, h, w)
+        for g, rg in zip(grads, ref):
+            np.testing.assert_allclose(
+                np.asarray(g, dtype=np.float32),
+                np.asarray(rg, dtype=np.float32), rtol=0.05, atol=0.05)
+
+    def test_custom_vjp_rejects_unknown(self, x):
+        from deeptables_tpu.ops.cin_grad import cin_contract
+        import jax.numpy as jnp
+        with pytest.raises(ValueError):
+            cin_contract(jnp.asarray(x), jnp.asarray(x),
+                         jnp.zeros((2, F, F)), 'nope')
+
 
 class TestAFM:
     def test_shapes(self, x):
@@ -211,6 +281,26 @@ class TestMultiheadAttention:
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
             varm['batch_stats'], varM['batch_stats'])
+
+    def test_batch_minor_matches_batch_major_bf16(self, x):
+        """bf16 activations (the default dtype policy): the batch-minor
+        fallback keeps the softmax weights f32 through the context
+        contraction (ADVICE r3), so the layouts must agree to bf16
+        tolerance."""
+        import jax.numpy as jnp
+        base = {'num_heads': 2, 'dropout_rate': 0, 'use_residual': True}
+        minor = L.MultiheadAttention(params=dict(base,
+                                                 layout='batch_minor'))
+        major = L.MultiheadAttention(params=dict(base,
+                                                 layout='batch_major'))
+        xb = jnp.asarray(x, dtype=jnp.bfloat16)
+        rng = jax.random.PRNGKey(7)
+        variables = minor.init({'params': rng}, xb, training=False)
+        out_minor = minor.apply(variables, xb, training=False)
+        out_major = major.apply(variables, xb, training=False)
+        np.testing.assert_allclose(
+            np.asarray(out_minor, dtype=np.float32),
+            np.asarray(out_major, dtype=np.float32), rtol=0.06, atol=0.06)
 
 
 class TestFGCNN:

@@ -86,3 +86,44 @@ class TestModuleIntegration:
         pal_out = fm_pallas(jnp.asarray(x), None, True)
         np.testing.assert_allclose(np.asarray(pal_out), np.asarray(ref_out),
                                    rtol=1e-5)
+
+
+class TestCinBwdKernel:
+    """Fused CIN backward (ops/kernels/cin_bwd.py) vs the jnp oracle,
+    interpret mode (the TPU lowering is exercised by the benchmarks)."""
+
+    @pytest.mark.parametrize('F,G,L', [(5, 5, 8), (5, 7, 16)])
+    def test_matches_oracle(self, F, G, L):
+        from deeptables_tpu.ops.kernels.cin_bwd import (cin_bwd_oracle,
+                                                        cin_bwd_pallas)
+        rng = np.random.default_rng(0)
+        db = 256
+        x0T = jnp.asarray(rng.normal(size=(F, db)).astype(np.float32))
+        hT = jnp.asarray(rng.normal(size=(G, db)).astype(np.float32))
+        w2 = jnp.asarray(rng.normal(size=(L, F * G)).astype(np.float32))
+        dzT = jnp.asarray(rng.normal(size=(L, db)).astype(np.float32))
+        dx0, dh, dw = cin_bwd_pallas(x0T, hT, w2, dzT, interpret=True)
+        rx0, rh, rw = cin_bwd_oracle(x0T, hT, w2, dzT)
+        np.testing.assert_allclose(np.asarray(dx0), np.asarray(rx0),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dh), np.asarray(rh),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dw), np.asarray(rw),
+                                   rtol=1e-4, atol=1e-3)
+
+    def test_grid_accumulation(self):
+        """dW must accumulate across >1 grid blocks exactly."""
+        from deeptables_tpu.ops.kernels.cin_bwd import (cin_bwd_oracle,
+                                                        cin_bwd_pallas)
+        rng = np.random.default_rng(1)
+        F, G, L, db = 4, 4, 8, 512  # forces >=2 lane blocks at 256-block
+        x0T = jnp.asarray(rng.normal(size=(F, db)).astype(np.float32))
+        hT = jnp.asarray(rng.normal(size=(G, db)).astype(np.float32))
+        w2 = jnp.asarray(rng.normal(size=(L, F * G)).astype(np.float32))
+        dzT = jnp.asarray(rng.normal(size=(L, db)).astype(np.float32))
+        out = cin_bwd_pallas(x0T, hT, w2, dzT, interpret=True,
+                             block_lanes=128)  # 4 grid blocks
+        ref = cin_bwd_oracle(x0T, hT, w2, dzT)
+        for a, b in zip(out, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-3)

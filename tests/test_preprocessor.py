@@ -122,3 +122,81 @@ class TestPreprocessor:
         cats = p.get_categorical_columns()
         assert len(cats) == 3  # c_int, c_str, flag all categorical
         assert all(np.issubdtype(X[c].dtype, np.integer) for c in cats)
+
+
+class TestGbmLeavesEncoder:
+    def _frame(self, n=200, seed=0):
+        import pandas as pd
+        rng = np.random.default_rng(seed)
+        X = pd.DataFrame({'a': rng.normal(size=n),
+                          'b': rng.integers(0, 5, n)})
+        y = (X['a'] + rng.normal(scale=0.1, size=n) > 0).astype(int)
+        return X, y
+
+    def test_leaf_codes_vectorized(self):
+        from deeptables_tpu.models.transformers import GbmLeavesEncoder
+        classes = np.array([3, 7, 11])
+        col = np.array([7, 3, 11, 5, 99])
+        codes = GbmLeavesEncoder._leaf_codes(classes, col)
+        # seen → index in sorted classes; unseen → len(classes)
+        np.testing.assert_array_equal(codes, [1, 0, 2, 3, 3])
+        assert codes.dtype == np.int32
+
+    def test_sklearn_backend_roundtrip(self):
+        from deeptables_tpu.models.transformers import GbmLeavesEncoder
+        from deeptables_tpu.utils import consts
+        X, y = self._frame()
+        enc = GbmLeavesEncoder(['b'], ['a'], consts.TASK_BINARY,
+                               n_estimators=4)
+        Xt = enc.fit_transform(X.copy(), y)
+        assert enc.backend == 'sklearn' or enc.backend == 'lightgbm'
+        assert len(enc.new_columns) >= 4
+        X2 = enc.transform(X.copy())
+        for c in enc.new_columns:
+            np.testing.assert_array_equal(np.asarray(Xt[c]),
+                                          np.asarray(X2[c]))
+
+    def test_lightgbm_backend_when_importable(self, monkeypatch):
+        """Exercise the lightgbm branch with a stub module implementing the
+        LGBMClassifier predict(..., pred_leaf=True) surface (the real
+        package is optional; the reference uses it natively —
+        /root/reference/deeptables/models/preprocessor.py:431-445)."""
+        import sys
+        import types
+        from sklearn.ensemble import GradientBoostingClassifier
+
+        class StubLGBMClassifier:
+            def __init__(self, **params):
+                self.params = params
+                n = params.get('n_estimators', 10)
+                self._m = GradientBoostingClassifier(
+                    n_estimators=n, max_depth=params.get('max_depth', 3))
+
+            def fit(self, X, y):
+                self._m.fit(X, y)
+                return self
+
+            def predict(self, X, pred_leaf=False):
+                assert pred_leaf
+                return self._m.apply(X).reshape(len(X), -1)
+
+        stub = types.ModuleType('lightgbm')
+        stub.LGBMClassifier = StubLGBMClassifier
+        stub.LGBMRegressor = StubLGBMClassifier
+        monkeypatch.setitem(sys.modules, 'lightgbm', stub)
+
+        from deeptables_tpu.models.transformers import GbmLeavesEncoder
+        from deeptables_tpu.utils import consts
+        X, y = self._frame()
+        enc = GbmLeavesEncoder(['b'], ['a'], consts.TASK_BINARY,
+                               num_boost_round=4, num_leaves=8)
+        Xt = enc.fit_transform(X.copy(), y)
+        assert enc.backend == 'lightgbm'
+        # LightGBM-native names were translated for the stub
+        assert enc.model.params['n_estimators'] == 4
+        assert enc.model.params['num_leaves'] == 8
+        assert len(enc.new_columns) == 4
+        X2 = enc.transform(X.copy())
+        for c in enc.new_columns:
+            np.testing.assert_array_equal(np.asarray(Xt[c]),
+                                          np.asarray(X2[c]))

@@ -228,3 +228,41 @@ def test_deeptable_streaming_fit_and_evaluate(csv_shards):
     assert 'loss' in history.history
     result = dt.evaluate(eval_loader)
     assert 'auc' in result and np.isfinite(result['loss'])
+
+
+def test_streaming_int_category_and_bool_columns():
+    """Streaming analog of test_int_category_and_bool_columns: the same
+    dataset must get the same imputer fills (hence vocabularies) whether it
+    is fit in-memory or streamed (ADVICE r3: resolved_dtype collapsed
+    bool/int-category to 'object', giving them the '' fill when streamed).
+    In-memory DataFrame chunks preserve the bool/Categorical dtypes (the
+    parquet round-trip in this environment does not)."""
+    import pandas as pd
+    rng = np.random.default_rng(0)
+    n = 300
+    df = pd.DataFrame({
+        'c_int': pd.Categorical(rng.integers(0, 7, n)),
+        'c_str': pd.Categorical(
+            rng.choice(['a', 'b', 'c'], n).astype(object)),
+        'flag': rng.integers(0, 2, n).astype(bool),
+        'x': rng.normal(size=n),
+        'y': rng.integers(0, 2, n),
+    })
+
+    config = ModelConfig(nets=['dnn_nets'], metrics=['AUC'])
+    pre_s = DefaultPreprocessor(config, use_cache=False)
+    fit_preprocessor_streaming(pre_s, ChunkedSource(df, chunk_size=100),
+                               target='y')
+    pre_m = DefaultPreprocessor(config, use_cache=False)
+    X_mem, _ = pre_m.fit_transform(df.drop(columns=['y']).copy(),
+                                   df['y'].copy())
+
+    # same schema/vocabularies as the in-memory fit
+    cats_s = [(c.name, c.vocabulary_size) for c in pre_s.categorical_columns]
+    cats_m = [(c.name, c.vocabulary_size) for c in pre_m.categorical_columns]
+    assert cats_s == cats_m
+    X_s = pre_s.transform_X(df.drop(columns=['y']).copy())
+    for c in [c.name for c in pre_s.categorical_columns]:
+        assert np.issubdtype(X_s[c].dtype, np.integer)
+        np.testing.assert_array_equal(np.asarray(X_s[c]),
+                                      np.asarray(X_mem[c]))
