@@ -218,11 +218,21 @@ def bench_quality():
         'y', ['linear', 'fm_nets', 'dnn_nets'])
     run('adult_widedeep_dcn', load_adult(20000), 14,
         ['linear', 'dnn_nets', 'dcn_nets'])
+    # criteo/avazu synthetic categorical fields are int-coded → must be
+    # declared explicitly (auto triage would treat them as numeric and
+    # silently skip the CIN/attention nets — round-4 fix)
     criteo = load_criteo_synthetic(60000)
     run('criteo_xdeepfm', criteo, 'label',
         ['linear', 'cin_nets', 'dnn_nets'],
         cin_params={'cross_layer_size': (64, 64), 'activation': 'relu'},
-        embeddings_output_dim=8)
+        embeddings_output_dim=8,
+        categorical_columns=[f'C{i}' for i in range(1, 27)])
+    from deeptables_tpu.data.datasets import load_avazu_synthetic
+    avazu = load_avazu_synthetic(60000)
+    run('avazu_autoint', avazu, 'click', ['autoint_nets'],
+        autoint_params={'num_attention': 3, 'num_heads': 2,
+                        'dropout_rate': 0, 'use_residual': True},
+        categorical_columns=[c for c in avazu.columns if c != 'click'])
     return results
 
 

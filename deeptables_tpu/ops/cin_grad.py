@@ -48,7 +48,10 @@ FORMULATIONS = ('auto', 'assoc', 'bm', 'pallas')
 
 
 def default_formulation() -> str:
-    return os.environ.get('DT_CIN_BWD', 'bm')
+    """In-situ measured winner (BASELINE.md xDeepFM table): the fused
+    Pallas backward, which itself falls back to 'bm' off-TPU, under a
+    >1-device mesh, or at unsupported shapes."""
+    return os.environ.get('DT_CIN_BWD', 'pallas')
 
 
 def _einsum_fwd(x0, h, w):
@@ -130,7 +133,11 @@ def _bwd_pallas(res, dz):
     L = w.shape[0]
     cd = x0.dtype
     from .kernels.cin_bwd import cin_bwd_pallas, supported
+    from .partitioning import mesh_context
+    # pallas_call has no GSPMD partitioning rule — any >1-device mesh
+    # takes the partitionable XLA 'bm' backward (ops/partitioning.py)
     if not (jax.default_backend() == 'tpu'
+            and mesh_context() is None
             and supported(F, G, L, D * B, jnp.dtype(cd))):
         return _bwd_bm(res, dz)
     dzT = dz.astype(cd).transpose(1, 2, 0).reshape(L, D * B)
@@ -153,6 +160,75 @@ def _bwd(formulation, res, dz):
 
 
 _cin_contract.defvjp(_fwd, _bwd)
+
+
+def _bm_kernels_ok(F, G, L, db, dtype):
+    """Whether the fused batch-minor kernels may lower here."""
+    from .kernels.cin_bwd import supported
+    from .partitioning import mesh_context
+    return (jax.default_backend() == 'tpu'
+            and mesh_context() is None
+            and supported(F, G, L, db, jnp.dtype(dtype)))
+
+
+@jax.custom_vjp
+def cin_contract_bm(x0T, hT, w):
+    """Batch-minor CIN contraction: ``z_l,(d b) = Σ_fg x0_f,(d b)
+    h_g,(d b) w_lfg`` with fused Pallas fwd/bwd kernels on a single TPU
+    device (jnp same-math fallback elsewhere).
+
+    x0T: (F, D·B), hT: (G, D·B), w: (L, F, G).  Returns zT (L, D·B) f32.
+    Used by the batch-minor CIN tower (``interactions.CIN``), which keeps
+    every inter-layer tensor in the (rows, D·B) orientation so no
+    per-layer transposes are needed.
+    """
+    return _bm_fwd_impl(x0T, hT, w)
+
+
+def _bm_fwd_impl(x0T, hT, w):
+    F, db = x0T.shape
+    L, _, G = w.shape
+    cd = x0T.dtype
+    w2 = w.astype(cd).reshape(L, F * G)
+    if _bm_kernels_ok(F, G, L, db, cd):
+        from .kernels.cin_bwd import cin_fwd_pallas
+        return cin_fwd_pallas(x0T, hT.astype(cd), w2)
+    pair = (x0T[:, None, :] * hT.astype(cd)[None, :, :]).reshape(F * G, db)
+    return jax.lax.dot_general(w2, pair, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _bm_fwd(x0T, hT, w):
+    return _bm_fwd_impl(x0T, hT, w), (x0T, hT, w)
+
+
+def _bm_bwd(res, dzT):
+    x0T, hT, w = res
+    F, db = x0T.shape
+    L, _, G = w.shape
+    cd = x0T.dtype
+    w2 = w.astype(cd).reshape(L, F * G)
+    if _bm_kernels_ok(F, G, L, db, cd):
+        from .kernels.cin_bwd import cin_bwd_pallas
+        dx0T, dhT, dw = cin_bwd_pallas(x0T, hT.astype(cd), w2,
+                                       dzT.astype(cd))
+    else:
+        dzc = dzT.astype(cd)
+        dpairT = jax.lax.dot_general(
+            w2, dzc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(cd) \
+            .reshape(F, G, db)
+        hc = hT.astype(cd)
+        dx0T = (dpairT * hc[None, :, :]).sum(1)
+        dhT = (dpairT * x0T[:, None, :]).sum(0)
+        pairT = (x0T[:, None, :] * hc[None, :, :]).reshape(F * G, db)
+        dw = jax.lax.dot_general(dzc, pairT, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    return (dx0T.astype(x0T.dtype), dhT.astype(hT.dtype),
+            dw.reshape(w.shape).astype(w.dtype))
+
+
+cin_contract_bm.defvjp(_bm_fwd, _bm_bwd)
 
 
 def cin_contract(x0, h, w, formulation=None):

@@ -403,66 +403,110 @@ class CIN(nn.Module):
         he = nn.initializers.he_uniform()
         f0_fields = x.shape[1]
         dim = x.shape[-1]
-        hidden = x
+        B = x.shape[0]
+
+        # ---- parameter prepass (identical names/shapes for every layout,
+        # so init and apply traces agree regardless of the branch) --------
+        ws, biases = [], []
         hidden_fields = f0_fields
-        final_result = []
         for i, layer_size in enumerate(cross_layer_size):
             if reduce_d:
                 f0w = self.param(f'f0_{i}', he, (layer_size, f0_fields, dim))
-                f1w = self.param(f'f__{i}', he, (layer_size, dim, hidden_fields))
+                f1w = self.param(f'f__{i}', he,
+                                 (layer_size, dim, hidden_fields))
                 w = jnp.einsum('lfd,ldg->lfg', f0w, f1w,
                                preferred_element_type=jnp.float32)
             else:
                 w = self.param(f'f_{i}', he,
                                (layer_size, f0_fields, hidden_fields))
-            # z_bld = Σ_{f,g} x0_bfd · h_bgd · w_lfg
-            # reachable from ModelConfig via cin_params={'use_pallas': True}
-            want_pallas = self.use_pallas or \
-                bool(self.params.get('use_pallas', False))
-            if want_pallas:
-                # Mosaic lowering constraints: lane-aligned L and a batch
-                # tile ≥ the dtype's sublane pack (tiny traces — e.g. the
-                # B=2 init — fall back to the einsum, same math)
-                from .kernels.cin import supported
-                want_pallas = supported(layer_size) and x.shape[0] >= 512 \
-                    and x.shape[0] % 512 == 0
-            if want_pallas:
-                from .kernels.cin import cin_layer_pallas
-                z = cin_layer_pallas(x, hidden, w)
-            else:
-                # custom-VJP contraction: the autodiff backward of this
-                # einsum is narrow-output batched contractions (8.1 ms of
-                # the 9.98 ms round-3 xDeepFM step); see ops/cin_grad.py
-                from .cin_grad import cin_contract
-                z = cin_contract(x, hidden, w,
-                                 self.params.get('bwd', None))
-            if use_bias:
-                bias = self.param(f'bias_{i}', nn.initializers.zeros,
-                                  (layer_size,))
-                z = z + bias[None, :, None]
-            z = activation(z)
-
+            ws.append(w)
+            biases.append(self.param(f'bias_{i}', nn.initializers.zeros,
+                                     (layer_size,)) if use_bias else None)
             if direct:
-                direct_connect = z
-                hidden = z
                 hidden_fields = layer_size
-            else:
-                if i != len(cross_layer_size) - 1:
-                    if layer_size % 2 > 0:
-                        raise ValueError(
-                            'cross_layer_size must be even number except for '
-                            'the last layer when direct=True')
+            elif i != len(cross_layer_size) - 1:
+                if layer_size % 2 > 0:
+                    raise ValueError(
+                        'cross_layer_size must be even number except for '
+                        'the last layer when direct=True')
+                hidden_fields = layer_size // 2
+
+        # legacy opt-in per-layer pallas CIN (measured slower than the
+        # einsum at prod shapes — BASELINE.md; kept reachable via
+        # cin_params={'use_pallas': True})
+        want_pallas = self.use_pallas or \
+            bool(self.params.get('use_pallas', False))
+        if want_pallas:
+            from .kernels.cin import supported as legacy_supported
+            want_pallas = all(legacy_supported(ls)
+                              for ls in cross_layer_size) \
+                and B >= 512 and B % 512 == 0
+
+        # batch-minor tower (round 4): every inter-layer tensor stays in
+        # the (rows, D*B) orientation, each layer is one fused-kernel
+        # contraction (ops/cin_grad.cin_contract_bm) -- no per-layer
+        # transposes, pair operands never leave VMEM.  'auto' engages it
+        # on a single TPU device; cin_params={'layout': 'batch_minor'}
+        # forces the same math through the jnp fallback anywhere.
+        layout = self.params.get('layout', 'auto')
+        mc = partitioning.mesh_context()
+        use_bm = (not want_pallas) and (
+            layout == 'batch_minor'
+            or (layout == 'auto' and jax.default_backend() == 'tpu'
+                and mc is None and (B * dim) % 128 == 0))
+
+        final_result = []
+        if use_bm:
+            from .cin_grad import cin_contract_bm
+            xT = x.transpose(1, 2, 0).reshape(f0_fields, dim * B)
+            hiddenT = xT
+            for i, layer_size in enumerate(cross_layer_size):
+                zT = cin_contract_bm(xT, hiddenT, ws[i])    # (L, D*B) f32
+                if use_bias:
+                    zT = zT + biases[i][:, None]
+                zT = activation(zT)
+                if direct:
+                    direct_connect = zT
+                    hiddenT = zT
+                elif i != len(cross_layer_size) - 1:
+                    half = layer_size // 2
+                    hiddenT = zT[:half]
+                    direct_connect = zT[half:]
+                else:
+                    direct_connect = zT
+                    hiddenT = None
+                final_result.append(direct_connect)
+            resultT = jnp.concatenate(final_result, axis=0)  # (SumL, D*B)
+            result = resultT.reshape(-1, dim, B).sum(axis=1).T  # (B, SumL)
+        else:
+            hidden = x
+            for i, layer_size in enumerate(cross_layer_size):
+                if want_pallas:
+                    from .kernels.cin import cin_layer_pallas
+                    z = cin_layer_pallas(x, hidden, ws[i])
+                else:
+                    # custom-VJP contraction: the autodiff backward of
+                    # this einsum is narrow-output batched contractions
+                    # (8.1 ms of the round-3 xDeepFM step); ops/cin_grad.py
+                    from .cin_grad import cin_contract
+                    z = cin_contract(x, hidden, ws[i],
+                                     self.params.get('bwd', None))
+                if use_bias:
+                    z = z + biases[i][None, :, None]
+                z = activation(z)
+                if direct:
+                    direct_connect = z
+                    hidden = z
+                elif i != len(cross_layer_size) - 1:
                     half = layer_size // 2
                     hidden = z[:, :half, :]
                     direct_connect = z[:, half:, :]
-                    hidden_fields = half
                 else:
                     direct_connect = z
                     hidden = None
-            final_result.append(direct_connect)
-
-        result = jnp.concatenate(final_result, axis=1)  # (B, ΣL, D)
-        result = jnp.sum(result, axis=-1)  # (B, ΣL)
+                final_result.append(direct_connect)
+            result = jnp.concatenate(final_result, axis=1)  # (B, SumL, D)
+            result = jnp.sum(result, axis=-1)  # (B, SumL)
 
         if use_residual:
             out0 = activation(nn.Dense(cross_layer_size[-1], kernel_init=he,

@@ -152,6 +152,34 @@ class TestCIN:
         _, out = init_and_apply(module, x)
         assert out.shape == (B, 1)
 
+    @pytest.mark.parametrize('extra', [{}, {'use_bias': True},
+                                       {'direct': True},
+                                       {'reduce_D': True}])
+    def test_batch_minor_tower_matches_classic(self, x, extra):
+        """The round-4 batch-minor CIN tower (cin_params layout=
+        'batch_minor', jnp fallback on CPU) must equal the classic
+        (B, F, D) tower — values and input gradients — with
+        interchangeable parameters."""
+        import jax.numpy as jnp
+        base = {'cross_layer_size': (8, 4), 'activation': 'relu'}
+        classic = L.CIN(params=dict(base, layout='batch_major', **extra))
+        bm = L.CIN(params=dict(base, layout='batch_minor', **extra))
+        rng = jax.random.PRNGKey(3)
+        variables = classic.init({'params': rng}, x, training=False)
+
+        def run(module, xv):
+            out = module.apply(variables, xv, training=False)
+            return jnp.sum(out * jnp.cos(out)), out
+
+        (l1, o1), g1 = jax.value_and_grad(
+            lambda xv: run(classic, xv), has_aux=True)(jnp.asarray(x))
+        (l2, o2), g2 = jax.value_and_grad(
+            lambda xv: run(bm, xv), has_aux=True)(jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                                   rtol=1e-3, atol=1e-5)
+
     @pytest.mark.parametrize('formulation', ['assoc', 'bm'])
     def test_custom_vjp_matches_autodiff(self, x, formulation):
         """Every hand-written backward formulation (ops/cin_grad.py) must
