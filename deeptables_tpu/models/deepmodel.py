@@ -621,16 +621,21 @@ class DeepModel:
             for cb in cbs:
                 cb.on_epoch_begin(epoch)
             epoch_losses = []
-            train_probas, train_ys = [], []
+            train_logits, train_ys = [], []
             step_count = 0
+            # ONE device round-trip for the whole epoch's step keys — an
+            # eager jax.random.split per step costs a dispatch round-trip
+            # on remote/tunneled devices
+            step_keys = np.asarray(jax.random.split(rng, steps + 1))
+            rng = jnp.asarray(step_keys[0])
             for batch, yb, wb, valid in it:
-                rng, step_rng = jax.random.split(rng)
                 batch, yb, wb = self._place_batch(batch, yb, wb)
                 params, bs, opt_state, loss_state, loss, logits = train_step(
                     self.variables['params'],
                     self.variables.get('batch_stats', {}),
                     self.opt_state, self.loss_state, batch, yb,
-                    wb if wb is not None else None, step_rng)
+                    wb if wb is not None else None,
+                    step_keys[step_count + 1])
                 self.variables = {'params': params, 'batch_stats': bs}
                 self.opt_state = opt_state
                 self.loss_state = loss_state
@@ -638,18 +643,22 @@ class DeepModel:
                 metric_cap = self.config.train_metrics_sample_limit
                 if metric_cap is None or \
                         len(train_ys) * batch_size < metric_cap:
-                    # keep device arrays; defer host transfer to epoch end so
-                    # the dispatch queue stays async (no per-step sync)
-                    train_probas.append(probas_from_logits(logits, self.task))
+                    # keep raw device logits (zero extra dispatches); the
+                    # proba transform runs once on the epoch concat below
+                    train_logits.append(logits)
                     train_ys.append(yb)
                 step_count += 1
                 if step_count >= steps:
                     break
 
-            logs = {'loss': float(np.mean(jax.device_get(epoch_losses)))}
-            if train_probas:
-                tp = np.concatenate([np.asarray(p) for p in train_probas])
-                ty = np.concatenate(train_ys)
+            # ONE host fetch per epoch: stack/concatenate on device first
+            # (per-item fetches cost a tunnel round-trip each)
+            logs = {'loss': float(np.asarray(
+                jnp.mean(jnp.stack(epoch_losses))))}
+            if train_logits:
+                tp = np.asarray(probas_from_logits(
+                    jnp.concatenate(train_logits), self.task))
+                ty = np.concatenate([np.asarray(t) for t in train_ys])
                 for name, fn in metric_specs:
                     try:
                         logs[name] = float(fn(ty, tp))
@@ -715,6 +724,18 @@ class DeepModel:
         for cb in cbs:
             cb.on_train_begin()
         rng = jax.random.PRNGKey(self.config.seed + 17)
+        # host-buffered step keys: one device split per 128 steps instead
+        # of one eager split per step (dispatch round-trip each on
+        # remote/tunneled devices; step count is loader-determined)
+        key_buf: List = []
+
+        def next_key():
+            nonlocal rng
+            if not key_buf:
+                keys = np.asarray(jax.random.split(rng, 129))
+                rng = jnp.asarray(keys[0])
+                key_buf.extend(keys[1:])
+            return key_buf.pop()
 
         for epoch in range(initial_epoch, epochs):
             for cb in cbs:
@@ -722,7 +743,7 @@ class DeepModel:
             losses = []
             steps = 0
             for batch, yb, wb, valid in train_loader:
-                rng, step_rng = jax.random.split(rng)
+                step_rng = next_key()
                 batch, yb, wb = self._place_batch(batch, yb, wb)
                 params, bs, opt_state, loss_state, loss, _ = train_step(
                     self.variables['params'],
@@ -735,7 +756,7 @@ class DeepModel:
                 steps += 1
                 if steps_per_epoch and steps >= steps_per_epoch:
                     break
-            logs = {'loss': float(np.mean(jax.device_get(losses)))}
+            logs = {'loss': float(np.asarray(jnp.mean(jnp.stack(losses))))}
 
             if val_loader is not None:
                 logits_parts, y_parts = [], []
@@ -783,14 +804,17 @@ class DeepModel:
         for batch, _, _, valid in it:
             batch, _, _ = self._place_batch(batch)
             logits, taps = eval_step(self.variables, batch)
-            chunks.append(np.asarray(logits[:valid]))
+            # keep device arrays and fetch ONCE after the loop — a
+            # per-batch np.asarray is a synchronous host round-trip per
+            # dispatch (measured ~1 s each on the tunneled platform)
+            chunks.append(logits[:valid])
             for k in tap_chunks:
                 if k not in taps:
                     raise ValueError(f'No layer found in the model:{k}')
-                tap_chunks[k].append(np.asarray(taps[k][:valid]))
-        logits = np.concatenate(chunks)[:n]
+                tap_chunks[k].append(taps[k][:valid])
+        logits = np.asarray(jnp.concatenate(chunks))[:n]
         if want_taps is not None:
-            return logits, {k: np.concatenate(v)[:n]
+            return logits, {k: np.asarray(jnp.concatenate(v))[:n]
                             for k, v in tap_chunks.items()}
         return logits
 
@@ -807,10 +831,12 @@ class DeepModel:
         for batch, yb, _wb, valid in loader:
             batch, _, _ = self._place_batch(batch)
             logits, _ = eval_step(self.variables, batch)
-            logits_parts.append(np.asarray(logits[:valid]))
+            # device arrays accumulated; single fetch after the loop (a
+            # per-batch np.asarray syncs the dispatch queue every step)
+            logits_parts.append(logits[:valid])
             if yb is not None:
-                y_parts.append(np.asarray(yb[:valid]))
-        logits = np.concatenate(logits_parts)
+                y_parts.append(np.asarray(yb)[:valid])
+        logits = np.asarray(jnp.concatenate(logits_parts))
         y = np.concatenate(y_parts) if y_parts else None
         return logits, y
 
