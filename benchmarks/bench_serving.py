@@ -1,0 +1,97 @@
+# -*- coding:utf-8 -*-
+"""Serving latency/throughput record (VERDICT r3 next-step #8).
+
+Trains a small DeepFM on the criteo-style schema, wraps it in
+``serving.Predictor``, then measures per-bucket p50/p95/p99 latency of
+``predict_proba_arrays`` (preprocessed numpy in → probas out, the
+request-path hot loop) and the single-chip bulk predict throughput.
+
+Latency on the tunneled platform includes the host↔device round-trip, so
+the honest statement is end-to-end request latency from this host; the
+on-chip compute portion is far smaller.  Results →
+benchmarks/serving_results.json + a table for BASELINE.md.
+
+Usage: python benchmarks/bench_serving.py
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    'serving_results.json')
+
+
+def main():
+    from deeptables_tpu.data.datasets import load_criteo_synthetic
+    from deeptables_tpu.models import DeepTable, ModelConfig
+    from deeptables_tpu.serving import DEFAULT_BUCKETS, Predictor
+
+    df = load_criteo_synthetic(30000)
+    y = df.pop('label')
+    conf = ModelConfig(
+        nets=['linear', 'fm_nets', 'dnn_nets'], metrics=['AUC'],
+        embedding_dropout=0, earlystopping_patience=0,
+        categorical_columns=[f'C{i}' for i in range(1, 27)],
+        embeddings_output_dim=16, dtype_policy='bfloat16',
+        home_dir='/tmp/dt_serving')
+    dt = DeepTable(config=conf)
+    dt.fit(df, y, epochs=1, batch_size=4096, verbose=0)
+
+    pred = Predictor(dt)
+    t0 = time.time()
+    pred.warmup()
+    warmup_s = time.time() - t0
+
+    # request-path arrays (preprocessed once, outside the timed loop)
+    Xt = dt.preprocessor.transform_X(df.head(8192).copy())
+    from deeptables_tpu.data import pipeline as pl
+    arrays = pl.extract_arrays(Xt, dt.preprocessor.categorical_columns,
+                               dt.preprocessor.continuous_columns,
+                               dt.preprocessor.var_len_categorical_columns)
+
+    results = {'warmup_seconds': round(warmup_s, 2), 'buckets': {}}
+    rng = np.random.default_rng(0)
+    for bucket in DEFAULT_BUCKETS:
+        n = bucket
+        reps = 200 if bucket <= 64 else (50 if bucket <= 512 else 20)
+        lat = []
+        for _ in range(reps):
+            s = int(rng.integers(0, 8192 - n + 1))
+            req = {k: v[s:s + n] for k, v in arrays.items()}
+            t0 = time.perf_counter()
+            out = pred.predict_proba_arrays(req, n)
+            _ = float(out.ravel()[0])  # force host materialization
+            lat.append(time.perf_counter() - t0)
+        lat_ms = np.asarray(lat) * 1e3
+        row = {'p50_ms': round(float(np.percentile(lat_ms, 50)), 3),
+               'p95_ms': round(float(np.percentile(lat_ms, 95)), 3),
+               'p99_ms': round(float(np.percentile(lat_ms, 99)), 3),
+               'reps': reps}
+        results['buckets'][str(bucket)] = row
+        print(json.dumps({'bucket': bucket, **row}), flush=True)
+
+    # bulk predict throughput (4096 bucket, back-to-back requests)
+    n, reps = 4096, 30
+    t0 = time.perf_counter()
+    for i in range(reps):
+        req = {k: v[:n] for k, v in arrays.items()}
+        out = pred.predict_proba_arrays(req, n)
+    _ = float(out.ravel()[0])
+    dt_s = time.perf_counter() - t0
+    results['bulk_predict_examples_per_sec'] = round(n * reps / dt_s, 1)
+    print(json.dumps({'bulk_predict_examples_per_sec':
+                      results['bulk_predict_examples_per_sec']}), flush=True)
+
+    with open(_OUT, 'w') as f:
+        json.dump(results, f, indent=1)
+    print(f'wrote {_OUT}')
+
+
+if __name__ == '__main__':
+    main()

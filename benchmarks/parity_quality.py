@@ -346,14 +346,14 @@ def main():
         for name, spec in _configs().items():
             if only and name != only:
                 continue
-            runs = []
-            for seed in SEEDS:
+            runs = res.get(name, {}).get(side, [])
+            for seed in SEEDS[len(runs):]:  # resume after a crashed run
                 r = run(name, spec, seed)
                 runs.append(r)
                 print(json.dumps({'config': name, 'side': side,
                                   'seed': seed, **r}), flush=True)
-            res.setdefault(name, {})[side] = runs
-            _save(res)
+                res.setdefault(name, {})[side] = runs
+                _save(res)  # save per seed (tunnel flakes mid-config)
     # report
     print(f'\n{"config":22s} {"ours AUC":>16s} {"tf AUC":>16s} '
           f'{"ours logloss":>14s} {"tf logloss":>14s}')

@@ -130,7 +130,11 @@ def run_one():
 
 def main():
     combos = [('elementwise', 'lane'), ('elementwise', 'logical'),
-              ('matmul', 'lane'), ('matmul', 'logical')]
+              ('matmul', 'lane'), ('matmul', 'logical'),
+              ('elementwise', 'segsum')]  # round-4: sorted segment-sum
+    if os.environ.get('AB_COMBOS'):  # e.g. "elementwise:segsum,..."
+        combos = [tuple(c.split(':'))
+                  for c in os.environ['AB_COMBOS'].split(',')]
     for ksel, scat in combos:
         env = dict(os.environ, DT_EMB_KSEL=ksel, DT_EMB_SCATTER=scat)
         r = subprocess.run(

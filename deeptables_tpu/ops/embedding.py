@@ -44,7 +44,7 @@ def _ksel_matmul() -> bool:
     return os.environ.get('DT_EMB_KSEL', 'elementwise') == 'matmul'
 
 
-def _scatter_logical() -> bool:
+def _scatter_mode() -> str:
     """Backward scatter formulation (A/B: benchmarks/profile_emb_ab.py).
 
     'lane' (default): lane-expand updates to (M, k*dim) and scatter at
@@ -52,9 +52,16 @@ def _scatter_logical() -> bool:
     'logical': scatter raw (M, dim) rows into a dense (n*k, dim) buffer
     and repack by reshape — 2× faster standalone, but in-situ XLA assigns
     the dim-minor buffer a padded layout and it measures slower.
+    'segsum': sort the flat ids and segment-sum the permuted updates at
+    logical-row granularity (one write per touched row; the classic
+    embedding-backward dedup — round-4 A/B row).
     Read at trace time; set DT_EMB_SCATTER to override.
     """
-    return os.environ.get('DT_EMB_SCATTER', 'lane') == 'logical'
+    return os.environ.get('DT_EMB_SCATTER', 'lane')
+
+
+def _scatter_logical() -> bool:
+    return _scatter_mode() == 'logical'
 
 
 def _pack_factor(dim: int) -> int:
@@ -109,7 +116,22 @@ def _make_packed_lookup(n_packed, k, dim, dtype_name):
 
     def bwd(flat_ids, g):
         g = g.astype(jnp.float32)
+        mode = _scatter_mode()
+        if mode == 'segsum' and k > 1:
+            # sort → segment-sum at logical-row granularity: one write
+            # per touched row (the classic embedding-backward dedup)
+            order = jnp.argsort(flat_ids)
+            dtable = jax.ops.segment_sum(
+                g[order], flat_ids[order], num_segments=n_packed * k,
+                indices_are_sorted=True)
+            return dtable.reshape(n_packed, k * dim).astype(dtype), None
         if k == 1:
+            if mode == 'segsum':
+                order = jnp.argsort(flat_ids)
+                dtable = jax.ops.segment_sum(
+                    g[order], flat_ids[order], num_segments=n_packed,
+                    indices_are_sorted=True)
+                return dtable.astype(dtype), None
             upd, idx, rows_out, repack = g, flat_ids, n_packed, False
         elif _scatter_logical():
             # scatter at LOGICAL-row granularity into a dense (n*k, dim)
@@ -184,6 +206,15 @@ def _make_multicol_lookup(n_packed, k, dim, dtype_name, vocabs, offsets):
         """
         idsr = ids2[:, lo_col:].reshape(-1)
         gr = g3[:, lo_col:].reshape(-1, dim)
+        mode = _scatter_mode()
+        if mode == 'segsum':
+            order = jnp.argsort(idsr)
+            out = jax.ops.segment_sum(
+                gr[order], idsr[order] - (row_base * k if k > 1
+                                          else row_base),
+                num_segments=rows_out * k if k > 1 else rows_out,
+                indices_are_sorted=True)
+            return out.reshape(rows_out, k * dim) if k > 1 else out
         if k == 1:
             out = jnp.zeros((rows_out, dim), jnp.float32)
             return out.at[idsr - row_base].add(gr)

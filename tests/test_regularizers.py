@@ -49,3 +49,37 @@ def test_embedding_regularizers_affect_loss():
     # the unregularized one on the same data/seed
     assert with_w > base
     assert with_a > base
+
+
+class TestScatterFormulations:
+    """All DT_EMB_SCATTER backward formulations must produce identical
+    table gradients (round-4 adds 'segsum': sort + one segment-sum write
+    per touched row)."""
+
+    @pytest.mark.parametrize('mode', ['logical', 'segsum'])
+    def test_matches_lane_default(self, monkeypatch, mode):
+        import jax
+        import jax.numpy as jnp
+        from deeptables_tpu.ops import embedding as E
+
+        rng = np.random.default_rng(hash(mode) % 2**31)
+        vocs = (41 + len(mode), 257, 5)  # unique shapes per mode (trace
+        # caches key on shapes, so each mode gets a fresh trace)
+        ids = np.stack([rng.integers(0, v, 384) for v in vocs],
+                       axis=1).astype(np.int32)
+        mod = E.MultiColumnEmbedding(input_dims=vocs,
+                                     output_dims=(16, 16, 16))
+        params = mod.init(jax.random.PRNGKey(0), ids)['params']
+
+        def loss(p):
+            o = mod.apply({'params': p}, ids)
+            return jnp.sum(o.stacked.astype(jnp.float32) ** 3)
+
+        monkeypatch.setattr(E, '_scatter_mode', lambda: 'lane')
+        ref = jax.grad(loss)(params)
+        monkeypatch.setattr(E, '_scatter_mode', lambda: mode)
+        got = jax.grad(loss)(params)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+            ref, got)
