@@ -184,6 +184,89 @@ def main():
     record('attention_tower_only', timed_scan(
         tower_step, (pt, bt, ot), steps))
 
+    # --- tower variant ablations (candidate optimizations measured
+    # before implementation; variants re-implement the batch-minor block
+    # with pieces disabled/fused) ---
+    from deeptables_tpu.ops.kernels.field_attention import field_attention
+
+    class VariantAttention(nn.Module):
+        no_bn: bool = False
+        no_proj: bool = False
+        fused_qkvr: bool = False
+        use_kernel: bool = True
+
+        @nn.compact
+        def __call__(self, x, training=True):
+            B, F_, U = x.shape
+            H = autoint_params['num_heads']
+            dh = U // H
+            he = nn.initializers.he_uniform()
+            if self.no_proj:
+                q = k = v = r = x
+            elif self.fused_qkvr:
+                qkvr = jax.nn.relu(nn.Dense(4 * U, kernel_init=he,
+                                            name='qkvr')(x))
+                q, k, v, r = jnp.split(qkvr, 4, axis=-1)
+            else:
+                dn = lambda n: nn.Dense(U, kernel_init=he, name=n)
+                q = jax.nn.relu(dn('dense_Q')(x))
+                k = jax.nn.relu(dn('dense_K')(x))
+                v = jax.nn.relu(dn('dense_V')(x))
+                r = jax.nn.relu(dn('dense_residual')(x))
+            split = lambda t: t.reshape(B, F_, H, dh).transpose(2, 1, 3, 0)
+            qh, kh, vh = split(q), split(k), split(v)
+            if self.use_kernel:
+                o = field_attention(qh, kh, vh, 1.0 / (dh ** 0.5))
+            else:
+                w = jnp.sum(qh[:, :, None] * kh[:, None], axis=3,
+                            dtype=jnp.float32) / (dh ** 0.5)
+                w = jax.nn.softmax(w, axis=2)
+                o = jnp.sum(w[:, :, :, None] * vh[:, None], axis=2,
+                            dtype=jnp.float32)
+            o = o.astype(x.dtype).transpose(3, 1, 0, 2).reshape(B, F_, U)
+            o = jax.nn.relu(o + r)
+            if not self.no_bn:
+                o = nn.BatchNorm(use_running_average=not training,
+                                 momentum=0.9, epsilon=1e-3)(o)
+            return o
+
+    def variant_tower(**kw):
+        class VT(nn.Module):
+            @nn.compact
+            def __call__(self, x, training=True):
+                for i in range(3):
+                    x = VariantAttention(name=f'att{i}', **kw)(
+                        x, training=training)
+                x = x.reshape(x.shape[0], -1)
+                return nn.Dense(1)(x)[:, 0]
+        return VT()
+
+    for label, kw in [
+            ('tower_variant_base', {}),
+            ('tower_no_bn', {'no_bn': True}),
+            ('tower_fused_qkvr', {'fused_qkvr': True}),
+            ('tower_no_proj', {'no_proj': True}),
+            ('tower_xla_attention', {'use_kernel': False})]:
+        vt = variant_tower(**kw)
+        tvv = vt.init(jax.random.PRNGKey(0), x0[0])
+        pv, bv = tvv['params'], tvv.get('batch_stats', {})
+        ov = jax.jit(tx.init)(pv)
+
+        def v_loss(p, bs, x, yb, vt=vt):
+            out, mutated = vt.apply(
+                {'params': p, 'batch_stats': bs}, x, training=True,
+                mutable=['batch_stats'])
+            return loss_fn(out, yb), mutated.get('batch_stats', {})
+
+        def v_step(carry, i, v_loss=v_loss):
+            p, bs, o = carry
+            (loss, nbs), grads = jax.value_and_grad(
+                v_loss, has_aux=True)(p, bs, x0[i], batches[1][i])
+            upd, no = tx.update(grads, o, p)
+            return (optax.apply_updates(p, upd), nbs, no), loss
+
+        record(label, timed_scan(v_step, (pv, bv, ov), steps))
+
     return results
 
 

@@ -57,8 +57,16 @@ def main():
         return b, batches[1][i]
 
     for bwd in variants:
-        cin_params = {'cross_layer_size': (128, 128), 'activation': 'relu',
-                      'bwd': bwd.strip()}
+        bwd = bwd.strip()
+        if bwd == 'tower':
+            # round-4 default: full batch-minor tower (fused fwd+bwd)
+            cin_params = {'cross_layer_size': (128, 128),
+                          'activation': 'relu'}
+        else:
+            # classic (B, F, D) tower with the selected backward
+            cin_params = {'cross_layer_size': (128, 128),
+                          'activation': 'relu',
+                          'layout': 'batch_major', 'bwd': bwd}
         config = ModelConfig(
             nets=['linear', 'cin_nets', 'dnn_nets'], metrics=['AUC'],
             task='binary', embedding_dropout=0,

@@ -157,10 +157,11 @@ class MultiheadAttention(nn.Module):
         n_shards = mc.num_data_shards if mc is not None else 1
         wrap = (mc is not None and dropout_rate == 0 and B % n_shards == 0)
         local_b = B // n_shards if wrap else B
+        from .kernels.field_attention import supported as fa_supported
         use_kernel = (self.params.get('use_fused_kernel', True)
                       and dropout_rate == 0
                       and jax.default_backend() == 'tpu'
-                      and local_b % 128 == 0
+                      and fa_supported(dh, local_b)
                       and (mc is None or wrap))
 
         def attend(qh, kh, vh):

@@ -41,6 +41,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
+MIN_D_HEAD = 8
+
+
+def supported(d_head: int, batch: int) -> bool:
+    """Mosaic-lowering constraints (measured on v5e, round 4): the
+    flash-style backward crashes the TPU compile helper when the
+    sublane-adjacent head dim is below 8 (dh=2 and dh=4 at any batch;
+    dh=8 compiles) — e.g. the default config's embeddings_output_dim=4.
+    Callers take the XLA batch-minor fallback below this."""
+    return d_head >= MIN_D_HEAD and batch % _LANE == 0
 
 
 def _slice(x, idx, axis):
