@@ -296,12 +296,18 @@ def load_avazu_synthetic(n_rows=100_000, seed=31):
         'C20': rng.integers(0, 170, n_rows),
         'C21': rng.integers(0, 60, n_rows),
     }
-    score = (0.3 * np.sin(fields['site_id'] * 0.37)
-             + 0.3 * np.cos(fields['app_id'] * 0.11)
-             + 0.2 * (fields['banner_pos'] == 1)
-             + 0.15 * np.sin(fields['C17'] * 0.23)
-             + np.where(np.isin(fields['hour'], [19, 20, 21, 22]), 0.2, 0)
-             + rng.normal(0, 1, n_rows))
+    # planted signal weighted toward low-vocab fields so it is learnable
+    # at bench-scale row counts (a purely high-vocab signal needs many
+    # rows per category before embeddings beat chance — round 4)
+    score = (0.6 * (fields['banner_pos'] == 1)
+             + 0.5 * np.sin(fields['hour'] * 0.55)
+             + 0.45 * np.cos(fields['C18'] * 1.3)
+             + 0.4 * np.sin(fields['C1'] * 0.9)
+             + 0.35 * np.sin(fields['C17'] * 0.23)
+             + 0.3 * np.sin(fields['site_category'] * 0.7)
+             + 0.25 * np.sin(fields['site_id'] * 0.37)
+             + 0.25 * np.cos(fields['app_id'] * 0.11)
+             + rng.normal(0, 0.9, n_rows))
     click = (score > np.quantile(score, 0.83)).astype(np.int8)
     df = pd.DataFrame(fields)
     df.insert(0, 'click', click)

@@ -443,18 +443,16 @@ class CIN(nn.Module):
                               for ls in cross_layer_size) \
                 and B >= 512 and B % 512 == 0
 
-        # batch-minor tower (round 4): every inter-layer tensor stays in
-        # the (rows, D*B) orientation, each layer is one fused-kernel
-        # contraction (ops/cin_grad.cin_contract_bm) -- no per-layer
-        # transposes, pair operands never leave VMEM.  'auto' engages it
-        # on a single TPU device; cin_params={'layout': 'batch_minor'}
-        # forces the same math through the jnp fallback anywhere.
+        # batch-minor tower (round 4, measured and DECLINED as default):
+        # every inter-layer tensor stays in (rows, D*B), each layer one
+        # fused-kernel contraction (ops/cin_grad.cin_contract_bm).  The
+        # fused FORWARD loses to XLA's (B*D, F*G)x(F*G, L) einsum — its
+        # M=L=128 K-heavy dot runs ~2.5 ms vs 1.83 in-situ (BASELINE.md
+        # xDeepFM bullet) — so the default is the classic tower with the
+        # fused Pallas BACKWARD (cin_contract bwd='pallas').
+        # cin_params={'layout': 'batch_minor'} keeps the tower reachable.
         layout = self.params.get('layout', 'auto')
-        mc = partitioning.mesh_context()
-        use_bm = (not want_pallas) and (
-            layout == 'batch_minor'
-            or (layout == 'auto' and jax.default_backend() == 'tpu'
-                and mc is None and (B * dim) % 128 == 0))
+        use_bm = (not want_pallas) and layout == 'batch_minor'
 
         final_result = []
         if use_bm:
