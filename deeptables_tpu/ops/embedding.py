@@ -36,12 +36,16 @@ _LANES = 128  # TPU lane width: last-dim tiles are always 128 wide
 def _ksel_matmul() -> bool:
     """Forward k-select formulation (A/B: benchmarks/profile_emb_ab.py).
 
-    'elementwise' (default): (M,k,dim) one-hot multiply+reduce — slower
-    standalone but fuses with consumers, faster in the full train step.
-    'matmul': lane-mask + block-eye matmul — faster standalone.
-    Read at trace time; set DT_EMB_KSEL to override.
+    'matmul' (default since round 4): lane-mask + block-eye matmul.
+    'elementwise': (M,k,dim) one-hot multiply+reduce.
+    History: round 3 measured elementwise faster in-situ (3.22 vs
+    3.8 ms DeepFM step) and it became the default; the round-4 re-run
+    after the CIN/attention kernel work REVERSED the verdict (matmul
+    3.02 ms vs elementwise 3.26) — fusion context shifts these
+    decisions, so re-measure per jax upgrade (BASELINE.md
+    "Formulation A/B").  Read at trace time; DT_EMB_KSEL overrides.
     """
-    return os.environ.get('DT_EMB_KSEL', 'elementwise') == 'matmul'
+    return os.environ.get('DT_EMB_KSEL', 'matmul') == 'matmul'
 
 
 def _scatter_mode() -> str:

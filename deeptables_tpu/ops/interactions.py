@@ -90,7 +90,11 @@ class MultiheadAttention(nn.Module):
                 f'num_heads {num_heads}')
         d_head = num_units // num_heads
         he = nn.initializers.he_uniform()
-        dense = lambda name: nn.Dense(num_units, kernel_init=he, name=name)
+        # compute the projections in the activation dtype (bf16 under the
+        # default policy) — the flax default promotes to f32 against the
+        # f32 master params, doubling the q/k/v/residual HBM traffic
+        dense = lambda name: nn.Dense(num_units, kernel_init=he, name=name,
+                                      dtype=x.dtype)
 
         if self.params.get('layout', 'batch_minor') == 'batch_minor':
             return self._batch_minor(x, dense, num_heads, d_head,
