@@ -88,6 +88,27 @@ def main():
     print(json.dumps({'bulk_predict_examples_per_sec':
                       results['bulk_predict_examples_per_sec']}), flush=True)
 
+    # pipelined sustained throughput: dispatch async, fetch one behind —
+    # on the tunneled platform the per-request numbers above are
+    # dominated by the host↔device round-trip (~25–50 ms), which
+    # overlapping requests hide; this is the serving-capacity number
+    import numpy as _np
+    n, reps = 4096, 60
+    req = {k: v[:n] for k, v in arrays.items()}
+    prev = None
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = pred._forward(pred.model.variables, req)  # device future
+        if prev is not None:
+            _np.asarray(prev)
+        prev = out
+    _np.asarray(prev)
+    dt_s = time.perf_counter() - t0
+    results['pipelined_predict_examples_per_sec'] = round(n * reps / dt_s, 1)
+    print(json.dumps({'pipelined_predict_examples_per_sec':
+                      results['pipelined_predict_examples_per_sec']}),
+          flush=True)
+
     with open(_OUT, 'w') as f:
         json.dump(results, f, indent=1)
     print(f'wrote {_OUT}')

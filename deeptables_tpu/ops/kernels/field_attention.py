@@ -204,3 +204,233 @@ def field_attention_oracle(q, k, v, scale):
     w = jax.nn.softmax(s, axis=2)
     return jnp.einsum('hfgb,hgdb->hfdb', w,
                       v.astype(jnp.float32)).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused attention BLOCK: QKV+residual projections + relu + scores/softmax/
+# context + residual-add + relu in ONE kernel (round 4).
+#
+# Motivation (benchmarks/profile_autoint.py tower ablations): the four
+# per-block projections cost 0.74 ms of the 2.66 ms AutoInt tower — not
+# their dots (~1 GFLOP) but the q/k/v/r HBM round-trips and backward
+# elementwise passes.  Here they are computed per batch-lane block in VMEM.
+#
+# Layouts: x is (U, F, B) batch-minor; the projection weights arrive as one
+# augmented matrix w_aug (U+1, 4U) = [Wq|Wk|Wv|Wr] stacked over columns
+# with the biases as the last row (an in-kernel ones-row provides the
+# bias path), so q = relu(w_aug[:,:U]^T @ [x;1]) etc.  BatchNorm stays
+# outside (its statistics span the full batch).
+# ---------------------------------------------------------------------------
+
+
+def _block_qkvr(xa, w_aug, U, H, dh, f_, bb):
+    """Shared fwd recompute: pre-activations + split heads."""
+    pre = jax.lax.dot_general(w_aug, xa, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    post = jnp.maximum(pre, 0.0)                     # (4U, F*Bb) f32
+    def head(i):
+        t = jax.lax.slice_in_dim(post, i * U, (i + 1) * U, axis=0)
+        return t.reshape(H, dh, f_, bb)
+    return pre, post, head(0), head(1), head(2), head(3)
+
+
+def _ab_fwd_kernel(x_ref, w_ref, o_ref, *, scale, H, dh):
+    U, f_, bb = x_ref.shape
+    x = x_ref[...]
+    xa = jnp.concatenate(
+        [x.reshape(U, f_ * bb),
+         jnp.ones((1, f_ * bb), x.dtype)], axis=0)   # (U+1, F*Bb)
+    _, _, q, k, v, r = _block_qkvr(xa, w_ref[...], U, H, dh, f_, bb)
+
+    s = jnp.zeros((H, f_, f_, bb), jnp.float32)
+    for d in range(dh):
+        q_d = _slice(q, d, 1)                        # (H, F, Bb)
+        k_d = _slice(k, d, 1)
+        s = s + q_d[:, :, None, :] * k_d[:, None, :, :]
+    s = s * scale
+    m = jnp.max(s, axis=2, keepdims=True)
+    e = jnp.exp(s - m)
+    w = e / jnp.sum(e, axis=2, keepdims=True)        # (H, F, G, Bb)
+
+    ctx = jnp.zeros((H, dh, f_, bb), jnp.float32)
+    for g in range(f_):
+        w_g = _slice(w, g, 2)                        # (H, F, Bb)
+        v_g = _slice(v, g, 2)                        # (H, dh, Bb)
+        ctx = ctx + w_g[:, None, :, :] * v_g[:, :, None, :]
+    out = ctx.reshape(U, f_, bb) + r.reshape(U, f_, bb)
+    o_ref[...] = jnp.maximum(out, 0.0).astype(o_ref.dtype)
+
+
+def _ab_bwd_kernel(x_ref, w_ref, do_ref, dx_ref, dw_ref, *, scale, H, dh):
+    U, f_, bb = x_ref.shape
+    x = x_ref[...]
+    w_aug = w_ref[...]
+    xa = jnp.concatenate(
+        [x.reshape(U, f_ * bb),
+         jnp.ones((1, f_ * bb), x.dtype)], axis=0)
+    pre, post, q, k, v, r = _block_qkvr(xa, w_aug, U, H, dh, f_, bb)
+
+    # recompute scores/softmax/context
+    s = jnp.zeros((H, f_, f_, bb), jnp.float32)
+    for d in range(dh):
+        s = s + _slice(q, d, 1)[:, :, None, :] * \
+            _slice(k, d, 1)[:, None, :, :]
+    s = s * scale
+    m = jnp.max(s, axis=2, keepdims=True)
+    e = jnp.exp(s - m)
+    wgt = e / jnp.sum(e, axis=2, keepdims=True)
+    ctx = jnp.zeros((H, dh, f_, bb), jnp.float32)
+    for g in range(f_):
+        ctx = ctx + _slice(wgt, g, 2)[:, None, :, :] * \
+            _slice(v, g, 2)[:, :, None, :]
+
+    do = do_ref[...].astype(jnp.float32)             # (U, F, Bb)
+    mask = (ctx.reshape(U, f_, bb) + r.reshape(U, f_, bb)) > 0
+    dpost_out = jnp.where(mask, do, 0.0)             # (U, F, Bb)
+    dctx = dpost_out.reshape(H, dh, f_, bb)
+    dr = dpost_out
+
+    # dwgt[h,f,g,:] = sum_d dctx[h,d,f,:] v[h,d,g,:]
+    dwgt = jnp.zeros((H, f_, f_, bb), jnp.float32)
+    for d in range(dh):
+        dwgt = dwgt + _slice(dctx, d, 1)[:, :, None, :] * \
+            _slice(v, d, 1)[:, None, :, :]
+    ds = wgt * (dwgt - jnp.sum(wgt * dwgt, axis=2, keepdims=True)) * scale
+
+    # dq[h,d,f,:] = sum_g ds[h,f,g,:] k[h,d,g,:]
+    dq = jnp.zeros((H, dh, f_, bb), jnp.float32)
+    for g in range(f_):
+        dq = dq + _slice(ds, g, 2)[:, None, :, :] * \
+            _slice(k, g, 2)[:, :, None, :]
+    # dk[h,d,g,:] = sum_f ds[h,f,g,:] q[h,d,f,:]
+    dk = jnp.zeros((H, dh, f_, bb), jnp.float32)
+    dv = jnp.zeros((H, dh, f_, bb), jnp.float32)
+    for f in range(f_):
+        ds_f = _slice(ds, f, 1)                      # (H, G, Bb)
+        w_f = _slice(wgt, f, 1)                      # (H, G, Bb)
+        q_f = _slice(q, f, 2)                        # (H, dh, Bb)
+        dctx_f = _slice(dctx, f, 2)                  # (H, dh, Bb)
+        dk = dk + ds_f[:, None, :, :] * q_f[:, :, None, :]
+        dv = dv + w_f[:, None, :, :] * dctx_f[:, :, None, :]
+
+    dpost = jnp.concatenate(
+        [dq.reshape(U, f_ * bb), dk.reshape(U, f_ * bb),
+         dv.reshape(U, f_ * bb), dr.reshape(U, f_ * bb)], axis=0)
+    dpre = jnp.where(pre > 0, dpost, 0.0)            # (4U, F*Bb)
+
+    # dW[u, j] = sum_b xa[u, b] dpre[j, b], accumulated into a
+    # TILE-ALIGNED (rows%8, cols%128) ref — storing/accumulating an
+    # unaligned (U+1, 4U) block across a >1-step grid crashes the
+    # Mosaic compiler (measured round 4); operands are zero-padded so
+    # the extra rows/cols are exact zeros
+    _, rp, cp = dw_ref.shape
+    xa_p = jnp.concatenate(
+        [xa.astype(jnp.float32),
+         jnp.zeros((rp - (U + 1), f_ * bb), jnp.float32)], axis=0)
+    dpre_p = jnp.concatenate(
+        [dpre, jnp.zeros((cp - 4 * U, f_ * bb), jnp.float32)], axis=0)
+    dwb = jax.lax.dot_general(xa_p, dpre_p,
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    # one partial per grid step (summed by the caller): accumulating
+    # in-place across the grid crashes the Mosaic compiler for this
+    # kernel (measured round 4; the cin_bwd kernel's accumulator is
+    # fine — shape-dependent)
+    dw_ref[...] = dwb[None]
+
+    dxa = jax.lax.dot_general(
+        w_aug.astype(jnp.float32), dpre, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (U+1, F*Bb)
+    dx = jax.lax.slice_in_dim(dxa, 0, U, axis=0)
+    dx_ref[...] = dx.reshape(U, f_, bb).astype(dx_ref.dtype)
+
+
+def _ab_pick_block(b, h, f, u, budget_bytes=11_000_000):
+    bb = min(b, 1024)
+    per_lane = (4 * h * f * f * 4          # scores/weights/ds/dwgt f32
+                + 14 * u * f * 4)          # qkvr/dq/dk/dv/ctx-scale bufs
+    while bb > _LANE:
+        if bb % _LANE == 0 and b % bb == 0 and bb * per_lane <= budget_bytes:
+            break
+        bb //= 2
+    return max(bb, _LANE)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def attention_block(x, w_aug, scale, num_heads, d_head, interpret=False):
+    """Whole AutoInt block (projections+relu+attention+residual+relu).
+
+    x: (U, F, B) batch-minor; w_aug: (U+1, 4U) — [Wq|Wk|Wv|Wr] columns,
+    biases in the last row.  Returns (U, F, B) in x.dtype.  BatchNorm is
+    applied by the caller.
+    """
+    return _ab_fwd_impl(x, w_aug, scale, num_heads, d_head, interpret)
+
+
+def _ab_fwd_impl(x, w_aug, scale, num_heads, d_head, interpret):
+    U, f_, b = x.shape
+    bb = _ab_pick_block(b, num_heads, f_, U)
+    if b % bb:
+        raise ValueError(f'batch {b} not a multiple of lane block {bb}')
+    x_spec = pl.BlockSpec((U, f_, bb), lambda i: (0, 0, i),
+                          memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((U + 1, 4 * U), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ab_fwd_kernel, scale=scale, H=num_heads,
+                          dh=d_head),
+        grid=(b // bb,),
+        in_specs=[x_spec, w_spec],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((U, f_, b), x.dtype),
+        interpret=interpret,
+    )(x, w_aug.astype(x.dtype))
+
+
+def _ab_fwd(x, w_aug, scale, num_heads, d_head, interpret):
+    return (_ab_fwd_impl(x, w_aug, scale, num_heads, d_head, interpret),
+            (x, w_aug))
+
+
+def _ab_bwd(scale, num_heads, d_head, interpret, res, do):
+    x, w_aug = res
+    U, f_, b = x.shape
+    bb = _ab_pick_block(b, num_heads, f_, U)
+    x_spec = pl.BlockSpec((U, f_, bb), lambda i: (0, 0, i),
+                          memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((U + 1, 4 * U), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    rp = -(-(U + 1) // 8) * 8          # tile-aligned dW partials
+    cp = -(-(4 * U) // _LANE) * _LANE
+    n_blocks = b // bb
+    dw_spec = pl.BlockSpec((1, rp, cp), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dx, dw = pl.pallas_call(
+        functools.partial(_ab_bwd_kernel, scale=scale, H=num_heads,
+                          dh=d_head),
+        grid=(n_blocks,),
+        in_specs=[x_spec, w_spec, x_spec],
+        out_specs=[x_spec, dw_spec],
+        out_shape=[jax.ShapeDtypeStruct((U, f_, b), x.dtype),
+                   jax.ShapeDtypeStruct((n_blocks, rp, cp), jnp.float32)],
+        interpret=interpret,
+    )(x, w_aug.astype(x.dtype), do.astype(x.dtype))
+    return dx, dw.sum(axis=0)[:U + 1, :4 * U].astype(w_aug.dtype)
+
+
+attention_block.defvjp(_ab_fwd, _ab_bwd)
+
+
+def attention_block_oracle(x, w_aug, scale, num_heads, d_head):
+    """jnp reference of the fused block (same layouts, f32 accumulate)."""
+    U, f_, b = x.shape
+    xa = jnp.concatenate([x.reshape(U, f_ * b).astype(jnp.float32),
+                          jnp.ones((1, f_ * b), jnp.float32)], axis=0)
+    post = jax.nn.relu(w_aug.astype(jnp.float32).T @ xa)  # (4U, F*B)
+    q, k, v, r = [post[i * U:(i + 1) * U].reshape(
+        num_heads, d_head, f_, b) for i in range(4)]
+    s = jnp.einsum('hdfb,hdgb->hfgb', q, k) * scale
+    w = jax.nn.softmax(s, axis=2)
+    ctx = jnp.einsum('hfgb,hdgb->hdfb', w, v)
+    out = jax.nn.relu((ctx + r).reshape(U, f_, b))
+    return out.astype(x.dtype)
