@@ -28,6 +28,16 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# this benchmark NEEDS the virtual CPU mesh: the env-var JAX_PLATFORMS is
+# ignored when the axon TPU plugin is present (it grabs the backend), so
+# pin the platform through jax.config before any jax import elsewhere
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+import jax  # noqa: E402
+jax.config.update('jax_platforms', 'cpu')
+
 _OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     'scaling_results.json')
 
