@@ -186,12 +186,15 @@ class MultiheadAttention(nn.Module):
         # (benchmarks/profile_autoint.py tower_no_proj ablation).  The
         # Dense params are created via _ProjParams (identical names), so
         # checkpoints are interchangeable with the unfused paths.
-        # DEFAULT OFF: the backward kernel compiles and matches the
-        # oracle at grid=1 (B ≤ lane block) but crashes the Mosaic
-        # compile helper at grid>1 — each constituent (projection-grad
-        # dots, attention-grad loops) compiles alone at grid>1, so the
-        # suspected cause is compiler resource exhaustion on the combined
-        # unrolled body; revisit on a newer libtpu.
+        # The backward splits into a pallas attention-grad stage plus two
+        # XLA projection-grad dots, and the lane-block budget accounts
+        # for Pallas' grid>1 double-buffering (the round-4 "compiler
+        # crash" was VMEM exhaustion — see _ab_pick_block).  DEFAULT OFF
+        # after in-situ measurement: at the VMEM-safe 128-lane block the
+        # fused block runs the AutoInt step at 10.7 ms vs 4.8 ms unfused
+        # (the per-block work is too small to amortize the grid) — the
+        # fusion would need ~3× the VMEM to win; revisit on chips with
+        # larger VMEM.
         if (use_kernel and use_residual
                 and self.params.get('fuse_projections', False)):
             return self._fused_block(x, H, dh, wrap, mc, training)

@@ -261,7 +261,7 @@ def _ab_fwd_kernel(x_ref, w_ref, o_ref, *, scale, H, dh):
     o_ref[...] = jnp.maximum(out, 0.0).astype(o_ref.dtype)
 
 
-def _ab_bwd_kernel(x_ref, w_ref, do_ref, dx_ref, dw_ref, *, scale, H, dh):
+def _ab_bwd_kernel(x_ref, w_ref, do_ref, dpre_ref, *, scale, H, dh):
     U, f_, bb = x_ref.shape
     x = x_ref[...]
     w_aug = w_ref[...]
@@ -316,36 +316,20 @@ def _ab_bwd_kernel(x_ref, w_ref, do_ref, dx_ref, dw_ref, *, scale, H, dh):
     dpost = jnp.concatenate(
         [dq.reshape(U, f_ * bb), dk.reshape(U, f_ * bb),
          dv.reshape(U, f_ * bb), dr.reshape(U, f_ * bb)], axis=0)
+    # masked projection gradient; the two projection-grad DOTS run in
+    # XLA outside this kernel (dx is wide-N, dW a long reduction — both
+    # MXU-fine there), because combining them with the attention-grad
+    # loops in one kernel crashes the Mosaic compiler at grid>1
+    # (round-4 bisection: each part compiles alone)
     dpre = jnp.where(pre > 0, dpost, 0.0)            # (4U, F*Bb)
-
-    # dW[u, j] = sum_b xa[u, b] dpre[j, b], accumulated into a
-    # TILE-ALIGNED (rows%8, cols%128) ref — storing/accumulating an
-    # unaligned (U+1, 4U) block across a >1-step grid crashes the
-    # Mosaic compiler (measured round 4); operands are zero-padded so
-    # the extra rows/cols are exact zeros
-    _, rp, cp = dw_ref.shape
-    xa_p = jnp.concatenate(
-        [xa.astype(jnp.float32),
-         jnp.zeros((rp - (U + 1), f_ * bb), jnp.float32)], axis=0)
-    dpre_p = jnp.concatenate(
-        [dpre, jnp.zeros((cp - 4 * U, f_ * bb), jnp.float32)], axis=0)
-    dwb = jax.lax.dot_general(xa_p, dpre_p,
-                              (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    # one partial per grid step (summed by the caller): accumulating
-    # in-place across the grid crashes the Mosaic compiler for this
-    # kernel (measured round 4; the cin_bwd kernel's accumulator is
-    # fine — shape-dependent)
-    dw_ref[...] = dwb[None]
-
-    dxa = jax.lax.dot_general(
-        w_aug.astype(jnp.float32), dpre, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)          # (U+1, F*Bb)
-    dx = jax.lax.slice_in_dim(dxa, 0, U, axis=0)
-    dx_ref[...] = dx.reshape(U, f_, bb).astype(dx_ref.dtype)
+    dpre_ref[...] = dpre.reshape(4 * U, f_, bb).astype(dpre_ref.dtype)
 
 
-def _ab_pick_block(b, h, f, u, budget_bytes=11_000_000):
+def _ab_pick_block(b, h, f, u, budget_bytes=4_000_000):
+    # budget leaves room for Pallas' grid>1 DOUBLE-BUFFERING of the
+    # in/out blocks: an 11 MB single-buffer estimate compiled at grid=1
+    # but blew the 16 MB VMEM at grid>1 (the compile helper dies with an
+    # opaque exit-1 — round-4 diagnosis)
     bb = min(b, 1024)
     per_lane = (4 * h * f * f * 4          # scores/weights/ds/dwgt f32
                 + 14 * u * f * 4)          # qkvr/dq/dk/dv/ctx-scale bufs
@@ -400,22 +384,31 @@ def _ab_bwd(scale, num_heads, d_head, interpret, res, do):
                           memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec((U + 1, 4 * U), lambda i: (0, 0),
                           memory_space=pltpu.VMEM)
-    rp = -(-(U + 1) // 8) * 8          # tile-aligned dW partials
-    cp = -(-(4 * U) // _LANE) * _LANE
-    n_blocks = b // bb
-    dw_spec = pl.BlockSpec((1, rp, cp), lambda i: (i, 0, 0),
-                           memory_space=pltpu.VMEM)
-    dx, dw = pl.pallas_call(
+    dpre_spec = pl.BlockSpec((4 * U, f_, bb), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM)
+    dpre = pl.pallas_call(
         functools.partial(_ab_bwd_kernel, scale=scale, H=num_heads,
                           dh=d_head),
-        grid=(n_blocks,),
+        grid=(b // bb,),
         in_specs=[x_spec, w_spec, x_spec],
-        out_specs=[x_spec, dw_spec],
-        out_shape=[jax.ShapeDtypeStruct((U, f_, b), x.dtype),
-                   jax.ShapeDtypeStruct((n_blocks, rp, cp), jnp.float32)],
+        out_specs=dpre_spec,
+        out_shape=jax.ShapeDtypeStruct((4 * U, f_, b), x.dtype),
         interpret=interpret,
     )(x, w_aug.astype(x.dtype), do.astype(x.dtype))
-    return dx, dw.sum(axis=0)[:U + 1, :4 * U].astype(w_aug.dtype)
+    # projection-grad dots in XLA (wide-N / long-reduction shapes)
+    dpre_m = dpre.reshape(4 * U, f_ * b)
+    xa = jnp.concatenate(
+        [x.reshape(U, f_ * b).astype(jnp.float32),
+         jnp.ones((1, f_ * b), jnp.float32)], axis=0)
+    dw = jax.lax.dot_general(xa, dpre_m.astype(jnp.float32),
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dxa = jax.lax.dot_general(
+        w_aug.astype(jnp.float32), dpre_m.astype(jnp.float32),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (U+1, F*B)
+    dx = dxa[:U].reshape(U, f_, b).astype(x.dtype)
+    return dx, dw.astype(w_aug.dtype)
 
 
 attention_block.defvjp(_ab_fwd, _ab_bwd)
