@@ -7,6 +7,13 @@ Public API parity with the reference's top-level exports
 """
 
 from ._version import __version__
+
+# persistent XLA compilation cache (huge win on remote/tunneled TPUs where
+# one compile takes minutes; no-op if the user configured their own dir,
+# opt out with DT_NO_COMPILE_CACHE=1)
+from .utils.device import enable_compilation_cache as _enable_cache
+_enable_cache()
+del _enable_cache
 from .models import (CategoricalColumn, ContinuousColumn, DeepModel,
                      DeepTable, ModelConfig, ModelInfo, ModelSet,
                      VarLenCategoricalColumn, make_experiment)

@@ -148,6 +148,12 @@ class ModelConfig:
     # None = score every training example. Validation metrics always use the
     # full validation set.
     train_metrics_sample_limit: Optional[int] = 200_000
+    # How many train steps run inside ONE device dispatch (a lax.scan over
+    # stacked batches). On remote/tunneled accelerators each dispatch pays
+    # a submission round-trip (~25-200 ms measured), so chunking speeds
+    # real training several-fold; semantics are identical (the scan body
+    # IS the single train step; callbacks stay per-epoch). 1 disables.
+    train_steps_per_dispatch: int = 8
 
     def __post_init__(self):
         var_len = self.var_len_categorical_columns

@@ -46,3 +46,44 @@ def memory_stats(device=None):
     d = device or jax.devices()[0]
     stats = getattr(d, 'memory_stats', None)
     return stats() if callable(stats) else None
+
+
+def enable_compilation_cache(path=None):
+    """Enable jax's persistent compilation cache (idempotent).
+
+    On remote/tunneled TPU platforms a single jit compile takes minutes;
+    the persistent cache makes re-runs of the same model start in
+    sub-second time (measured on the tunneled v5e: 36.9 s -> 0.4 s for a
+    second process).  Called automatically at package import unless the
+    user configured a cache dir themselves or set DT_NO_COMPILE_CACHE=1.
+    """
+    if os.environ.get('DT_NO_COMPILE_CACHE') == '1':
+        return None
+    import jax
+    try:
+        current = jax.config.jax_compilation_cache_dir
+    except AttributeError:  # pragma: no cover - much older jax
+        return None
+    if current:
+        return current
+    if path is None:
+        home = os.environ.get('DEEPTABLES_HOME')
+        base = home if home else os.path.join(
+            os.path.expanduser('~'), '.cache', 'deeptables_tpu')
+        path = os.path.join(base, 'jax_cache')
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', path)
+        # On accelerator backends store EVERY entry: with remote compile
+        # jax's measured compile time excludes the tunnel round-trip
+        # (0.75 s measured vs 14.7 s wall), so a >=1 s threshold skips
+        # exactly the entries that are expensive to recreate.  On CPU
+        # keep the 1 s threshold (compiles are cheap; storing thousands
+        # of tiny entries would just churn the cache dir).
+        threshold = 1.0 if jax.default_backend() == 'cpu' else 0.0
+        jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                          threshold)
+    except Exception as e:  # pragma: no cover
+        logger.debug(f'compilation cache not enabled: {e}')
+        return None
+    return path

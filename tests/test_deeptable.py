@@ -162,3 +162,25 @@ class TestMultipleMetrics:
         _, history = dt.fit(df, y, epochs=2, verbose=0)
         for k in ('val_auc', 'val_accuracy', 'val_logloss'):
             assert k in history.history
+
+
+def test_chunked_dispatch_matches_per_step():
+    """train_steps_per_dispatch=N runs the SAME math as per-step dispatch
+    (the scan body IS the single train step): loss histories bit-match."""
+    from deeptables_tpu.data.datasets import load_bank
+    from deeptables_tpu.models import DeepTable, ModelConfig
+
+    def run(n):
+        df = load_bank(900)
+        y = df.pop('y')
+        conf = ModelConfig(nets=['linear', 'dnn_nets'], metrics=['AUC'],
+                           earlystopping_patience=0, embedding_dropout=0,
+                           train_steps_per_dispatch=n, seed=5)
+        dt = DeepTable(config=conf)
+        _, h = dt.fit(df, y, epochs=2, batch_size=128, verbose=0)
+        return h.history['loss'], h.history['val_auc']
+
+    l1, a1 = run(1)
+    l4, a4 = run(4)
+    np.testing.assert_allclose(l1, l4, rtol=1e-6)
+    np.testing.assert_allclose(a1, a4, rtol=1e-6)
