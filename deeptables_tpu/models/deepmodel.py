@@ -705,11 +705,21 @@ class DeepModel:
                         self.loss_state = loss_state
                         epoch_losses.append(losses)
                         if metric_cap is None or metric_examples < metric_cap:
-                            train_logits.append(logits.reshape(
-                                (-1,) + logits.shape[2:]))
-                            train_ys.append(sy.reshape(
-                                (-1,) + sy.shape[2:]))
-                            metric_examples += n * batch_size
+                            # slice to the remaining cap so the chunked
+                            # path samples the same example budget as the
+                            # per-step path (at most one batch of
+                            # overshoot, not chunk_n batches)
+                            flat_logits = logits.reshape(
+                                (-1,) + logits.shape[2:])
+                            flat_ys = sy.reshape((-1,) + sy.shape[2:])
+                            if metric_cap is not None:
+                                rem = metric_cap - metric_examples
+                                rem_b = -(-rem // batch_size) * batch_size
+                                flat_logits = flat_logits[:rem_b]
+                                flat_ys = flat_ys[:rem_b]
+                            train_logits.append(flat_logits)
+                            train_ys.append(flat_ys)
+                            metric_examples += len(flat_ys)
                         buf_b, buf_y, buf_w = [], [], []
                     if step_count >= steps:
                         break

@@ -234,8 +234,11 @@ cin_contract_bm.defvjp(_bm_fwd, _bm_bwd)
 def cin_contract(x0, h, w, formulation=None):
     """``z_bld = sum_fg x0_bfd h_bgd w_lfg`` with a selectable backward.
 
-    ``formulation`` in {'auto', 'assoc', 'bm'}; None reads ``DT_CIN_BWD``
-    (default 'bm', the in-situ winner — BASELINE.md xDeepFM bullet).
+    ``formulation`` in {'auto', 'assoc', 'bm', 'pallas'}; None reads
+    ``DT_CIN_BWD`` (default 'pallas', the in-situ winner — BASELINE.md
+    xDeepFM table; 'pallas' itself falls back to the partitionable XLA
+    'bm' backward off-TPU, under a >1-device mesh, or at shapes/VMEM
+    footprints ``kernels.cin_bwd.supported`` rejects).
     """
     if formulation is None:
         formulation = default_formulation()

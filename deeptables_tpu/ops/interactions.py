@@ -177,7 +177,7 @@ class MultiheadAttention(nn.Module):
         use_kernel = (self.params.get('use_fused_kernel', True)
                       and dropout_rate == 0
                       and jax.default_backend() == 'tpu'
-                      and fa_supported(dh, local_b)
+                      and fa_supported(dh, local_b, H, F)
                       and (mc is None or wrap))
 
         # fused BLOCK path (round 4, opt-in): projections+relu+attention+
@@ -197,7 +197,9 @@ class MultiheadAttention(nn.Module):
         # larger VMEM.
         if (use_kernel and use_residual
                 and self.params.get('fuse_projections', False)):
-            return self._fused_block(x, H, dh, wrap, mc, training)
+            from .kernels.field_attention import attention_block_supported
+            if attention_block_supported(H, F, H * dh, local_b):
+                return self._fused_block(x, H, dh, wrap, mc, training)
 
         q = jax.nn.relu(dense('dense_Q')(x))              # (B, F, U)
         k = jax.nn.relu(dense('dense_K')(x))

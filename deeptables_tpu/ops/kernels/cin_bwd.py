@@ -115,6 +115,22 @@ def cin_fwd_pallas(x0T, hT, w2, interpret=False, block_lanes=None):
     )(x0T, hT.astype(cd), w2.astype(cd))
 
 
+def _budget_bytes():
+    import os
+    return int(float(os.environ.get('DT_CIN_BWD_VMEM_MB', '13')) * 1e6)
+
+
+def _footprint(f, g, l):
+    """(fixed_bytes, per_lane_bytes) VMEM estimate for the backward kernel
+    at padded shapes (g must already be the sublane-padded Gp)."""
+    per_lane = (2 * f * g * 4      # dpair f32 + the mul-reduce temp
+                + f * g * 2        # pair bf16
+                + l * 2            # dz bf16
+                + (2 * f + 2 * g) * 4)
+    fixed = l * f * g * (2 + 4)    # w bf16 + dW accumulator f32
+    return fixed, per_lane
+
+
 def _pick_block(db, f, g, l, budget_bytes=None):
     """Largest lane block (multiple of 128 dividing db) fitting VMEM.
 
@@ -122,15 +138,9 @@ def _pick_block(db, f, g, l, budget_bytes=None):
     config the layer-2 block is the Nb=512 / Nb=256 boundary — in-situ A/B
     (profile_cin_bwd) picked the default."""
     if budget_bytes is None:
-        import os
-        budget_bytes = int(float(os.environ.get(
-            'DT_CIN_BWD_VMEM_MB', '13')) * 1e6)
+        budget_bytes = _budget_bytes()
     nb = min(db, 1024)
-    per_lane = (2 * f * g * 4      # dpair f32 + the mul-reduce temp
-                + f * g * 2        # pair bf16
-                + l * 2            # dz bf16
-                + (2 * f + 2 * g) * 4)
-    fixed = l * f * g * (2 + 4)    # w bf16 + dW accumulator f32
+    fixed, per_lane = _footprint(f, g, l)
     while nb > _LANE:
         if nb % _LANE == 0 and db % nb == 0 \
                 and fixed + nb * per_lane <= budget_bytes:
@@ -184,10 +194,21 @@ def cin_bwd_pallas(x0T, hT, w2, dzT, interpret=False, block_lanes=None):
 
 
 def supported(F, G, L, db, dtype) -> bool:
-    """Mosaic-lowering constraints for the backward kernel."""
+    """Mosaic-lowering constraints for the backward kernel.
+
+    Besides the layout rules, require that even the *minimum* lane block
+    fits the VMEM budget (the kernel pads G to the sublane tile, so the
+    footprint check must use the padded Gp).  A config too large for the
+    smallest block (e.g. ~100 fields at cross_layer_size 128) would
+    otherwise dispatch the kernel and fail at compile/run time instead of
+    falling back to the partitionable XLA 'bm' path.
+    """
+    Gp = -(-G // 8) * 8
+    fixed, per_lane = _footprint(F, Gp, L)
     return (db % _LANE == 0
             and L % 8 == 0
-            and dtype in (jnp.bfloat16, jnp.float32))
+            and dtype in (jnp.bfloat16, jnp.float32)
+            and fixed + _LANE * per_lane <= _budget_bytes())
 
 
 def cin_bwd_oracle(x0T, hT, w2, dzT):

@@ -44,13 +44,23 @@ _LANE = 128
 MIN_D_HEAD = 8
 
 
-def supported(d_head: int, batch: int) -> bool:
+def supported(d_head: int, batch: int, num_heads=None, n_fields=None) -> bool:
     """Mosaic-lowering constraints (measured on v5e, round 4): the
     flash-style backward crashes the TPU compile helper when the
     sublane-adjacent head dim is below 8 (dh=2 and dh=4 at any batch;
     dh=8 compiles) — e.g. the default config's embeddings_output_dim=4.
-    Callers take the XLA batch-minor fallback below this."""
-    return d_head >= MIN_D_HEAD and batch % _LANE == 0
+    Callers take the XLA batch-minor fallback below this.
+
+    When ``num_heads``/``n_fields`` are given, additionally require that
+    the *minimum* 128-lane block fits the kernel's VMEM budget — a very
+    wide field count (the scores buffer grows as F²) would otherwise
+    dispatch the kernel and fail at compile time instead of taking the
+    XLA fallback."""
+    ok = d_head >= MIN_D_HEAD and batch % _LANE == 0
+    if ok and num_heads is not None and n_fields is not None:
+        ok = _LANE * _fa_per_lane(num_heads, n_fields, d_head) \
+            <= _FA_BUDGET_BYTES
+    return ok
 
 
 def _slice(x, idx, axis):
@@ -136,13 +146,20 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
     dv_ref[...] = dv.astype(dv_ref.dtype)
 
 
-def _pick_block(b, h, f, d, budget_bytes=9_000_000):
+_FA_BUDGET_BYTES = 9_000_000
+
+
+def _fa_per_lane(h, f, d):
+    return (3 * h * f * d * 2            # q,k,v bf16
+            + 2 * h * f * f * 4          # scores + weights f32
+            + 3 * h * f * d * 4)         # out/accumulators f32
+
+
+def _pick_block(b, h, f, d, budget_bytes=_FA_BUDGET_BYTES):
     """Largest lane block (multiple of 128 dividing b) fitting VMEM."""
     bb = min(b, 1024)
+    per_lane = _fa_per_lane(h, f, d)
     while bb > _LANE:
-        per_lane = (3 * h * f * d * 2            # q,k,v bf16
-                    + 2 * h * f * f * 4          # scores + weights f32
-                    + 3 * h * f * d * 4)         # out/accumulators f32
         if bb % _LANE == 0 and b % bb == 0 and bb * per_lane <= budget_bytes:
             break
         bb //= 2
@@ -325,19 +342,40 @@ def _ab_bwd_kernel(x_ref, w_ref, do_ref, dpre_ref, *, scale, H, dh):
     dpre_ref[...] = dpre.reshape(4 * U, f_, bb).astype(dpre_ref.dtype)
 
 
-def _ab_pick_block(b, h, f, u, budget_bytes=4_000_000):
+_AB_BUDGET_BYTES = 4_000_000
+
+
+def _ab_per_lane(h, f, u):
+    return (4 * h * f * f * 4          # scores/weights/ds/dwgt f32
+            + 14 * u * f * 4)          # qkvr/dq/dk/dv/ctx-scale bufs
+
+
+def _ab_pick_block(b, h, f, u, budget_bytes=_AB_BUDGET_BYTES):
     # budget leaves room for Pallas' grid>1 DOUBLE-BUFFERING of the
     # in/out blocks: an 11 MB single-buffer estimate compiled at grid=1
     # but blew the 16 MB VMEM at grid>1 (the compile helper dies with an
     # opaque exit-1 — round-4 diagnosis)
     bb = min(b, 1024)
-    per_lane = (4 * h * f * f * 4          # scores/weights/ds/dwgt f32
-                + 14 * u * f * 4)          # qkvr/dq/dk/dv/ctx-scale bufs
+    per_lane = _ab_per_lane(h, f, u)
     while bb > _LANE:
         if bb % _LANE == 0 and b % bb == 0 and bb * per_lane <= budget_bytes:
             break
         bb //= 2
     return max(bb, _LANE)
+
+
+def attention_block_supported(num_heads, n_fields, u, batch) -> bool:
+    """Whether the fused-block kernels may lower: besides the
+    field_attention constraints, the minimum 128-lane block must be
+    compileable.  The feasibility cutoff is 2× the block-choice budget:
+    `_ab_pick_block`'s 4 MB budget is a conservative *preference* for
+    sizing larger blocks, while the measured compile limit is the 16 MB
+    scoped VMEM with grid>1 double-buffering — the bench config's 128-lane
+    block estimates 4.5 MB and compiles, so the strict budget would
+    wrongly reject it."""
+    return (supported(u // num_heads, batch, num_heads, n_fields)
+            and _LANE * _ab_per_lane(num_heads, n_fields, u)
+            <= 2 * _AB_BUDGET_BYTES)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))

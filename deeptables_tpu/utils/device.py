@@ -74,13 +74,23 @@ def enable_compilation_cache(path=None):
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update('jax_compilation_cache_dir', path)
-        # On accelerator backends store EVERY entry: with remote compile
-        # jax's measured compile time excludes the tunnel round-trip
-        # (0.75 s measured vs 14.7 s wall), so a >=1 s threshold skips
-        # exactly the entries that are expensive to recreate.  On CPU
-        # keep the 1 s threshold (compiles are cheap; storing thousands
-        # of tiny entries would just churn the cache dir).
-        threshold = 1.0 if jax.default_backend() == 'cpu' else 0.0
+        # Only on REMOTE/tunneled plugin backends store EVERY entry: with
+        # remote compile jax's measured compile time excludes the tunnel
+        # round-trip (0.75 s measured vs 14.7 s wall), so a >=1 s
+        # threshold skips exactly the entries that are expensive to
+        # recreate.  On the ordinary local backends (cpu/gpu/tpu) keep
+        # jax's >=1 s default — storing thousands of sub-second entries
+        # would churn the cache dir without a win there.  Remote plugins
+        # are detected by an explicitly selected non-standard platform
+        # name in JAX_PLATFORMS (e.g. the tunneled 'axon' PJRT plugin,
+        # whose backend still reports platform 'tpu');
+        # DT_COMPILE_CACHE_MIN_SECS overrides either way.
+        standard = ('cpu', 'gpu', 'cuda', 'rocm', 'tpu', 'metal', '')
+        plugins = os.environ.get('JAX_PLATFORMS', '').lower().split(',')
+        remote_plugin = any(p.strip() not in standard for p in plugins)
+        threshold = float(os.environ.get(
+            'DT_COMPILE_CACHE_MIN_SECS',
+            0.0 if remote_plugin else 1.0))
         jax.config.update('jax_persistent_cache_min_compile_time_secs',
                           threshold)
     except Exception as e:  # pragma: no cover

@@ -127,3 +127,59 @@ class TestCinBwdKernel:
         for a, b in zip(out, ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-3)
+
+
+class TestVmemBudgetGuards:
+    """The kernel dispatch gates must reject configs whose MINIMUM lane
+    block exceeds the VMEM budget (advisor round-4 finding: a ~100-field
+    config would otherwise dispatch the Pallas path and die at compile
+    time instead of taking the partitionable XLA fallback)."""
+
+    def test_cin_bwd_supported_budget(self):
+        from deeptables_tpu.ops.kernels.cin_bwd import supported
+        # bench shapes fit
+        assert supported(26, 26, 128, 16 * 8192, jnp.bfloat16)
+        assert supported(26, 64, 128, 16 * 8192, jnp.bfloat16)
+        # ~100 fields at cross_layer_size 128: fixed w+dW alone
+        # (128*100*104*6 ≈ 8 MB) plus the 128-lane working set blows 13 MB
+        assert not supported(100, 100, 128, 16 * 8192, jnp.bfloat16)
+
+    def test_cin_bwd_unsupported_layouts(self):
+        from deeptables_tpu.ops.kernels.cin_bwd import supported
+        assert not supported(5, 5, 8, 100, jnp.bfloat16)   # db % 128
+        assert not supported(5, 5, 7, 256, jnp.bfloat16)   # L % 8
+        assert not supported(5, 5, 8, 256, jnp.int32)      # dtype
+
+    def test_cin_contract_falls_back_over_budget(self):
+        """'pallas' formulation on an over-budget shape must still
+        produce correct gradients (via the XLA 'bm' fallback)."""
+        from deeptables_tpu.ops.cin_grad import cin_contract
+        rng = np.random.default_rng(3)
+        b, f, g, l, d = 8, 10, 10, 8, 4
+        x0 = jnp.asarray(rng.normal(size=(b, f, d)).astype(np.float32))
+        h = jnp.asarray(rng.normal(size=(b, g, d)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(l, f, g)).astype(np.float32))
+
+        def loss(form):
+            return jax.grad(lambda a: jnp.sum(
+                cin_contract(a, h, w, form) ** 2))(x0)
+
+        np.testing.assert_allclose(np.asarray(loss('pallas')),
+                                   np.asarray(loss('auto')),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_field_attention_supported_budget(self):
+        from deeptables_tpu.ops.kernels.field_attention import supported
+        # bench-ish shapes (H=2, F=22, dh=8) fit the 9 MB budget
+        assert supported(8, 8192, 2, 22)
+        # shape-only call keeps working (no footprint info)
+        assert supported(8, 8192)
+        assert not supported(4, 8192)            # d_head < 8
+        # 256 fields: scores buffer 2*h*f*f*4 per lane * 128 lanes >> 9 MB
+        assert not supported(8, 8192, 2, 256)
+
+    def test_attention_block_supported_budget(self):
+        from deeptables_tpu.ops.kernels.field_attention import \
+            attention_block_supported
+        assert attention_block_supported(2, 22, 16, 8192)
+        assert not attention_block_supported(2, 256, 16, 8192)
