@@ -60,10 +60,18 @@ def main():
         dzT = jnp.asarray(rng.normal(size=(L, db)).astype(np.float32),
                           dtype=jnp.bfloat16)
         flops = 2 * 2 * db * L * F * G  # dpair dot + dW dot
-        t = timed(cin_bwd_pallas, x0T, hT, w2, dzT, False,
-                  block if block else None)
-        print(f'pallas F={F} G={G}: {t*1e6:9.1f} us  '
-              f'{flops/t/1e12:6.1f} TFLOP/s', flush=True)
+        # (block_lanes, chunk_f) combos: 0 = auto / whole-F
+        combos = [(block or None, 0), (block or None, 'auto'),
+                  (512, 8), (1024, 8), (1024, 16)]
+        for bl, cf in combos:
+            try:
+                t = timed(cin_bwd_pallas, x0T, hT, w2, dzT, False, bl, cf)
+            except Exception as e:
+                print(f'pallas F={F} G={G} nb={bl} fc={cf}: FAILED '
+                      f'{type(e).__name__}: {str(e)[:120]}', flush=True)
+                continue
+            print(f'pallas F={F} G={G} nb={bl} fc={cf}: {t*1e6:9.1f} us  '
+                  f'{flops/t/1e12:6.1f} TFLOP/s', flush=True)
 
         # XLA bm backward for contrast (same math through the custom VJP)
         x0 = x0T.reshape(F, D, B).transpose(2, 0, 1)

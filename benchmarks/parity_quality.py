@@ -49,9 +49,41 @@ BATCH = 512
 
 def _configs():
     from deeptables_tpu.data.datasets import (load_adult, load_avazu_synthetic,
-                                              load_bank,
-                                              load_criteo_synthetic)
+                                              load_bank, load_boston,
+                                              load_criteo_synthetic,
+                                              load_glass_uci,
+                                              load_multilabel_synthetic)
     return {
+        # --- round-5 rows: the other three task heads (VERDICT r4
+        # missing #1; reference deeptable_regression_test.py,
+        # deeptable_multiclass_test.py, deeptable_multilabel_test.py;
+        # head build deepmodel.py:436-457) ---
+        'boston_regression': dict(
+            loader=lambda: load_boston(20000), target='target',
+            task='regression', nets=['dnn_nets'],
+            conf=dict(task='regression')),
+        'glass_multiclass': dict(
+            loader=lambda: load_glass_uci(20000), target=10,
+            task='multiclass', nets=['dnn_nets'], conf={}),
+        'multilabel_dnn': dict(
+            loader=lambda: load_multilabel_synthetic(20000),
+            target=[f'label_{k}' for k in range(4)], task='multilabel',
+            nets=['dnn_nets'], conf=dict(task='multilabel')),
+        # --- round-5 rows: trained-quality parity for the towers the
+        # round-4 table did not cover (VERDICT r4 missing #2; reference
+        # layers.py:161-383, 444-587, 742-807) ---
+        'bank_fibinet': dict(
+            loader=lambda: load_bank(20000), target='y',
+            nets=['fibi_nets'], conf={}),
+        'bank_fgcnn': dict(
+            loader=lambda: load_bank(20000), target='y',
+            nets=['fgcnn_dnn_nets'], conf={}),
+        'bank_afm': dict(
+            loader=lambda: load_bank(20000), target='y',
+            nets=['afm_nets'], conf={}),
+        'bank_pnn': dict(
+            loader=lambda: load_bank(20000), target='y',
+            nets=['pnn_nets'], conf={}),
         'bank_deepfm': dict(
             loader=lambda: load_bank(20000), target='y',
             nets=['linear', 'fm_nets', 'dnn_nets'], conf={}),
@@ -80,30 +112,83 @@ def _configs():
     }
 
 
-def _split(df, target):
+def _split(df, target, task='binary'):
     from sklearn.model_selection import train_test_split
-    y = np.asarray(df.pop(target))
+    if isinstance(target, list):  # multilabel: several target columns
+        y = df[target].to_numpy(np.float32)
+        df = df.drop(columns=target)
+    else:
+        y = np.asarray(df.pop(target))
+    strat = y if task in ('binary', 'multiclass') else None
     return train_test_split(df, y, test_size=0.2, random_state=42,
-                            stratify=y)
+                            stratify=strat)
+
+
+def _encode_labels(y):
+    """Sorted-unique index mapping (mirrors sklearn LabelEncoder order,
+    which both our preprocessor and predict_proba column order follow)."""
+    classes = list(np.unique(y))
+    return np.asarray([classes.index(v) for v in y]), len(classes)
+
+
+def _score(task, y_true, pred):
+    """Shared final-metric computation, identical for both sides (the
+    binary rows keep their round-4 evaluate-based protocol; the round-5
+    task-head/tower rows all go through here)."""
+    from sklearn.metrics import (accuracy_score, log_loss, mean_absolute_error,
+                                 mean_squared_error, roc_auc_score)
+    if task == 'regression':
+        return {'rmse': float(np.sqrt(mean_squared_error(y_true, pred))),
+                'mae': float(mean_absolute_error(y_true, pred))}
+    if task == 'multiclass':
+        yi, n_classes = _encode_labels(y_true)
+        return {'logloss': float(log_loss(yi, pred,
+                                          labels=list(range(n_classes)))),
+                'accuracy': float(accuracy_score(yi, pred.argmax(1)))}
+    if task == 'multilabel':
+        p = np.clip(pred, 1e-7, 1 - 1e-7)
+        return {'auc': float(roc_auc_score(y_true, pred, average='macro')),
+                'logloss': float(np.mean([
+                    log_loss(y_true[:, k], p[:, k], labels=[0, 1])
+                    for k in range(y_true.shape[1])]))}
+    p = np.clip(pred, 1e-7, 1 - 1e-7)
+    return {'auc': float(roc_auc_score(y_true, pred)),
+            'logloss': float(log_loss(y_true, p))}
 
 
 # ---------------------------------------------------------------------------
 # our side
 # ---------------------------------------------------------------------------
 
+_TASK_METRICS = {  # first metric drives EarlyStopping on both sides
+    'binary': ['AUC', 'logloss'],
+    'regression': ['rmse'],
+    'multiclass': ['accuracy'],
+    'multilabel': ['accuracy'],
+}
+
+
 def run_ours(name, spec, seed):
     from deeptables_tpu.models import DeepTable, ModelConfig
+    task = spec.get('task', 'binary')
     X_train, X_test, y_train, y_test = _split(spec['loader'](),
-                                              spec['target'])
-    conf = ModelConfig(nets=spec['nets'], metrics=['AUC', 'logloss'],
+                                              spec['target'], task)
+    conf = ModelConfig(nets=spec['nets'], metrics=_TASK_METRICS[task],
                        earlystopping_patience=3, seed=seed,
                        home_dir='/tmp/dt_parity', **spec['conf'])
     dt = DeepTable(config=conf)
     t0 = time.time()
     dt.fit(X_train, y_train, epochs=EPOCHS, batch_size=BATCH, verbose=0)
-    score = dt.evaluate(X_test, y_test, verbose=0)
-    return {'auc': float(score['AUC']), 'logloss': float(score['logloss']),
-            'fit_seconds': round(time.time() - t0, 1)}
+    fit_s = round(time.time() - t0, 1)
+    if task == 'binary':  # round-4 protocol kept verbatim for these rows
+        score = dt.evaluate(X_test, y_test, verbose=0)
+        return {'auc': float(score['AUC']),
+                'logloss': float(score['logloss']), 'fit_seconds': fit_s}
+    if task == 'regression':
+        pred = np.asarray(dt.predict(X_test)).reshape(-1)
+    else:
+        pred = np.asarray(dt.predict_proba(X_test))
+    return {**_score(task, y_test, pred), 'fit_seconds': fit_s}
 
 
 # ---------------------------------------------------------------------------
@@ -133,9 +218,54 @@ def _tf_preprocess(spec, X_train, X_test, y_train):
               int(c.embeddings_output_dim)) for c in cat_cols])
 
 
-def build_tf_model(nets, cat_specs, n_dense, conf):
+def build_tf_model(nets, cat_specs, n_dense, conf, task='binary', n_out=1):
     import tensorflow as tf
     K = tf.keras.ops
+
+    def _pairs(f):
+        import itertools
+        pairs = list(itertools.combinations(range(f), 2))
+        row = [p[0] for p in pairs]
+        col = [p[1] for p in pairs]
+        return row, col
+
+    class _BilinearPair(tf.keras.layers.Layer):
+        """FiBiNet field_interaction bilinear (layers.py:311-377)."""
+
+        def __init__(self, row, col, **kw):
+            super().__init__(**kw)
+            self.row, self.col = row, col
+
+        def build(self, shape):
+            e = int(shape[-1])
+            self.w = self.add_weight(
+                name='w', shape=(len(self.row), e, e),
+                initializer='glorot_uniform')
+
+        def call(self, x):
+            import tensorflow as tf
+            p = tf.gather(x, self.row, axis=1)
+            q = tf.gather(x, self.col, axis=1)
+            return tf.einsum('bpe,peh->bph', p, self.w) * q
+
+    class _OuterProductMat(tf.keras.layers.Layer):
+        """PNN 'mat' kernel outer product (layers.py:493-581)."""
+
+        def __init__(self, row, col, **kw):
+            super().__init__(**kw)
+            self.row, self.col = row, col
+
+        def build(self, shape):
+            e = int(shape[-1])
+            self.w = self.add_weight(
+                name='kernel', shape=(e, len(self.row), e),
+                initializer='glorot_uniform')
+
+        def call(self, x):
+            import tensorflow as tf
+            p = tf.gather(x, self.row, axis=1)
+            q = tf.gather(x, self.col, axis=1)
+            return tf.einsum('bpe,epf,bpf->bp', p, self.w, q)
 
     emb_dropout = conf.get('embedding_dropout', 0.3)
     inputs = []
@@ -270,6 +400,82 @@ def build_tf_model(nets, cat_specs, n_dense, conf):
                 o = K.relu(o)
                 out = tf.keras.layers.BatchNormalization()(o)
             outs[net] = tf.keras.layers.Flatten()(out)
+        elif net == 'fibi_nets':
+            # SENET + bilinear on both raw and re-weighted embeddings
+            # (layers.py:245-383, deepnets.py:344-371)
+            p = conf.get('fibinet_params', {})
+            F = int(stack.shape[1])
+            row, col = _pairs(F)
+            reduction = max(F // p.get('senet_reduction_ratio', 3), 1)
+            z = K.mean(stack, axis=-1)                   # mean pooling_op
+            a1 = tf.keras.layers.Dense(
+                reduction, activation='relu',
+                kernel_initializer='he_uniform')(z)
+            a2 = tf.keras.layers.Dense(
+                F, activation='relu', kernel_initializer='he_uniform')(a1)
+            senet = stack * K.expand_dims(a2, -1)
+            bi_se = _BilinearPair(row, col, name='senet_bilinear')(senet)
+            bi_raw = _BilinearPair(row, col, name='emb_bilinear')(stack)
+            outs[net] = K.concatenate([bi_se, bi_raw], axis=1)  # (B,2P,D)
+        elif net == 'fgcnn_dnn_nets':
+            # FGCNN stages generate new feature maps; concat with the raw
+            # embeddings, flatten + dense → DNN (layers.py:161-243,
+            # deepnets.py:227-261, 326-341)
+            p = conf.get('fgcnn_params', {})
+            F, E = int(stack.shape[1]), int(stack.shape[2])
+            x4 = K.expand_dims(stack, -1)                # (B, F, E, 1)
+            new_feats = []
+            for (filters, h, pool, newf) in zip(
+                    p.get('fg_filters', (14, 16)),
+                    p.get('fg_heights', (7, 7)),
+                    p.get('fg_pool_heights', (2, 2)),
+                    p.get('fg_new_feat_filters', (2, 2))):
+                in_fields = int(x4.shape[1])
+                conv = tf.keras.layers.Conv2D(
+                    filters, (h, 1), padding='same', activation='tanh',
+                    kernel_initializer='glorot_uniform')(x4)
+                x4 = tf.keras.layers.MaxPooling2D(
+                    (pool, 1), padding='same')(conv)
+                flat = tf.keras.layers.Flatten()(x4)
+                new = tf.keras.layers.Dense(
+                    in_fields * E * newf, activation='tanh',
+                    kernel_initializer='glorot_uniform')(flat)
+                new_feats.append(K.reshape(new, (-1, in_fields * newf, E)))
+            fg = K.concatenate(new_feats + [stack], axis=1)
+            flat = tf.keras.layers.Flatten()(fg)
+            parts = [flat] + ([dense_layer] if dense_layer is not None
+                              else [])
+            dnn_in = parts[0] if len(parts) == 1 \
+                else tf.keras.layers.Concatenate()(parts)
+            outs[net] = dnn(dnn_in, conf.get('dnn_params', {}), 'fgcnn')
+        elif net == 'afm_nets':
+            # pairwise Hadamard + attention pooling (layers.py:742-807)
+            p = conf.get('afm_params', {})
+            hidden = p.get('hidden_factor', p.get('attention_factor', 4))
+            F = int(stack.shape[1])
+            row, col = _pairs(F)
+            bi = tf.gather(stack, row, axis=1) \
+                * tf.gather(stack, col, axis=1)          # (B, P, D)
+            att = tf.keras.layers.Dense(
+                hidden, activation='relu',
+                kernel_initializer='glorot_normal')(bi)
+            score = tf.keras.layers.Dense(
+                1, use_bias=False,
+                kernel_initializer='glorot_uniform')(att)
+            score = K.softmax(score, axis=1)
+            pooled = K.sum(score * bi, axis=1)           # (B, D)
+            outs[net] = tf.keras.layers.Dense(1, use_bias=False)(pooled)
+        elif net == 'pnn_nets':
+            # inner + 'mat'-kernel outer products + DNN
+            # (layers.py:444-587, deepnets.py:144-160)
+            F = int(stack.shape[1])
+            row, col = _pairs(F)
+            ip = K.sum(tf.gather(stack, row, axis=1)
+                       * tf.gather(stack, col, axis=1), axis=-1)
+            op = _OuterProductMat(row, col, name='pnn_outer')(stack)
+            cat_all = tf.keras.layers.Concatenate()(
+                [ip, op, concat_emb_dense])
+            outs[net] = dnn(cat_all, conf.get('dnn_params', {}), 'pnn')
         else:
             raise ValueError(net)
 
@@ -283,43 +489,79 @@ def build_tf_model(nets, cat_specs, n_dense, conf):
         logits.append(out)
     x = logits[0] if len(logits) == 1 \
         else tf.keras.layers.Add(name='add_logits')(logits)
-    output = tf.keras.layers.Dense(1, activation='sigmoid',
-                                   name='task_output')(x)
+    # task heads per reference deepmodel.py:436-457
+    if task == 'regression':
+        output = tf.keras.layers.Dense(1, name='task_output')(x)
+        loss = tf.keras.losses.MeanSquaredError()
+        metrics = [tf.keras.metrics.RootMeanSquaredError(name='rmse')]
+    elif task == 'multiclass':
+        output = tf.keras.layers.Dense(n_out, activation='softmax',
+                                       name='task_output')(x)
+        loss = tf.keras.losses.SparseCategoricalCrossentropy()
+        metrics = ['accuracy']
+    elif task == 'multilabel':
+        output = tf.keras.layers.Dense(n_out, activation='sigmoid',
+                                       name='task_output')(x)
+        loss = tf.keras.losses.BinaryCrossentropy()
+        metrics = ['accuracy']
+    else:
+        output = tf.keras.layers.Dense(1, activation='sigmoid',
+                                       name='task_output')(x)
+        loss = tf.keras.losses.BinaryCrossentropy()
+        metrics = [tf.keras.metrics.AUC(name='auc')]
     model = tf.keras.Model(inputs, output)
-    model.compile(tf.keras.optimizers.Adam(1e-3),
-                  tf.keras.losses.BinaryCrossentropy(),
-                  metrics=[tf.keras.metrics.AUC(name='auc')])
+    model.compile(tf.keras.optimizers.Adam(1e-3), loss, metrics=metrics)
     return model
+
+
+_TF_MONITOR = {'binary': ('val_auc', 'max'),
+               'regression': ('val_rmse', 'min'),
+               'multiclass': ('val_accuracy', 'max'),
+               'multilabel': ('val_accuracy', 'max')}
 
 
 def run_tf(name, spec, seed):
     import tensorflow as tf
     from sklearn.metrics import log_loss, roc_auc_score
     tf.keras.utils.set_random_seed(seed)
+    task = spec.get('task', 'binary')
     X_train, X_test, y_train, y_test = _split(spec['loader'](),
-                                              spec['target'])
+                                              spec['target'], task)
     (tr, te, yt, cat_specs) = _tf_preprocess(spec, X_train, X_test, y_train)
     conf = dict(spec['conf'])
+    if task == 'multiclass':
+        n_out = int(len(np.unique(yt)))
+    elif task == 'multilabel':
+        n_out = int(y_train.shape[1])
+    else:
+        n_out = 1
     model = build_tf_model(spec['nets'], cat_specs,
-                           tr[1].shape[1] if tr[1] is not None else 0, conf)
+                           tr[1].shape[1] if tr[1] is not None else 0, conf,
+                           task=task, n_out=n_out)
     feats_tr = [a for a in tr if a is not None]
     feats_te = [a for a in te if a is not None]
+    monitor, mode = _TF_MONITOR[task]
     es = tf.keras.callbacks.EarlyStopping(
-        monitor='val_auc', mode='max', patience=3,
+        monitor=monitor, mode=mode, patience=3,
         restore_best_weights=True)
     t0 = time.time()
     model.fit(feats_tr, yt, epochs=EPOCHS, batch_size=BATCH,
               validation_split=0.2, callbacks=[es], verbose=0)
-    proba = model.predict(feats_te, batch_size=4096,
-                          verbose=0).reshape(-1)
-    y_true = np.asarray(y_test)
-    if y_true.dtype.kind in 'OUSb':  # label-encode like transform_y
-        classes = sorted(np.unique(y_true))
-        y_true = np.asarray([classes.index(v) for v in y_true])
-    return {'auc': float(roc_auc_score(y_true, proba)),
-            'logloss': float(log_loss(y_true, np.clip(proba, 1e-7,
-                                                      1 - 1e-7))),
-            'fit_seconds': round(time.time() - t0, 1),
+    fit_s = round(time.time() - t0, 1)
+    pred = model.predict(feats_te, batch_size=4096, verbose=0)
+    if task == 'binary':  # round-4 protocol kept verbatim for these rows
+        proba = pred.reshape(-1)
+        y_true = np.asarray(y_test)
+        if y_true.dtype.kind in 'OUSb':  # label-encode like transform_y
+            classes = sorted(np.unique(y_true))
+            y_true = np.asarray([classes.index(v) for v in y_true])
+        return {'auc': float(roc_auc_score(y_true, proba)),
+                'logloss': float(log_loss(y_true, np.clip(proba, 1e-7,
+                                                          1 - 1e-7))),
+                'fit_seconds': fit_s, 'tf_version': tf.__version__}
+    if task == 'regression':
+        pred = pred.reshape(-1)
+    return {**_score(task, y_test, pred), 'fit_seconds': fit_s,
             'tf_version': tf.__version__}
 
 
@@ -354,17 +596,20 @@ def main():
                                   'seed': seed, **r}), flush=True)
                 res.setdefault(name, {})[side] = runs
                 _save(res)  # save per seed (tunnel flakes mid-config)
-    # report
-    print(f'\n{"config":22s} {"ours AUC":>16s} {"tf AUC":>16s} '
-          f'{"ours logloss":>14s} {"tf logloss":>14s}')
+    # report (generic over metric names: the task-head rows carry
+    # rmse/mae/accuracy instead of auc/logloss)
+    skip = ('fit_seconds', 'tf_version')
+    print(f'\n{"config":20s} {"metric":>9s} {"ours":>16s} {"tf":>16s}')
     for name, sides in res.items():
-        def ms(side, key):
-            xs = [r[key] for r in sides.get(side, [])]
-            if not xs:
-                return '—'
-            return f'{np.mean(xs):.4f}±{np.std(xs):.4f}'
-        print(f'{name:22s} {ms("ours", "auc"):>16s} {ms("tf", "auc"):>16s} '
-              f'{ms("ours", "logloss"):>14s} {ms("tf", "logloss"):>14s}')
+        keys = [k for r in sides.get('ours', sides.get('tf', [{}]))[:1]
+                for k in r if k not in skip]
+        for key in keys:
+            def ms(side):
+                xs = [r[key] for r in sides.get(side, []) if key in r]
+                if not xs:
+                    return '—'
+                return f'{np.mean(xs):.4f}±{np.std(xs):.4f}'
+            print(f'{name:20s} {key:>9s} {ms("ours"):>16s} {ms("tf"):>16s}')
 
 
 if __name__ == '__main__':

@@ -324,3 +324,29 @@ class dsutils:
     load_heart_disease_uci = staticmethod(load_heart_disease_uci)
     load_criteo_synthetic = staticmethod(load_criteo_synthetic)
     load_avazu_synthetic = staticmethod(load_avazu_synthetic)
+
+
+def load_multilabel_synthetic(n_rows=20000, n_labels=4, seed=17):
+    """Multilabel task with planted per-label signal: 4 categorical + 4
+    numeric features, ``n_labels`` binary target columns ``label_k``
+    (analog of the reference's random-data multilabel test,
+    deeptable_multilabel_test.py:31-47, but learnable so trained-quality
+    parity can be asserted)."""
+    rng = _rng(seed)
+    c = [rng.integers(0, v, n_rows) for v in (8, 16, 30, 50)]
+    x = [rng.normal(size=n_rows) for _ in range(4)]
+    df = pd.DataFrame({
+        'c1': np.array(list('abcdefgh'))[c[0]],
+        'c2': c[1], 'c3': c[2], 'c4': c[3],
+        'n1': x[0], 'n2': x[1], 'n3': x[2], 'n4': x[3]})
+    base = 0.5 * np.sin(c[2] * 0.41) + 0.4 * x[3]  # shared factor
+    scores = [
+        0.8 * (c[0] % 3 == 0) + 0.6 * x[0] + base,
+        0.7 * np.sin(c[1] * 0.9) - 0.5 * x[1] + base,
+        0.6 * x[0] * x[1] + 0.5 * np.cos(c[3] * 0.23) + base,
+        0.9 * x[2] - 0.4 * (c[1] % 2) + base,
+    ]
+    for k in range(n_labels):
+        s = scores[k % len(scores)] + rng.normal(0, 0.8, n_rows)
+        df[f'label_{k}'] = (s > np.quantile(s, 0.6)).astype(np.int8)
+    return df

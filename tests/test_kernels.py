@@ -183,3 +183,38 @@ class TestVmemBudgetGuards:
             attention_block_supported
         assert attention_block_supported(2, 22, 16, 8192)
         assert not attention_block_supported(2, 256, 16, 8192)
+
+
+class TestCinBwdChunked:
+    """F-chunked backward variant (measured-and-declined opt-in,
+    DT_CIN_BWD_CHUNK_F) must match the oracle exactly, including the
+    partial last chunk and the G-padding path."""
+
+    @pytest.mark.parametrize('F,G,L,fc', [(26, 64, 128, 8), (26, 26, 16, 8),
+                                          (10, 16, 8, 8), (26, 64, 128, 16)])
+    def test_matches_oracle(self, F, G, L, fc):
+        from deeptables_tpu.ops.kernels.cin_bwd import (cin_bwd_oracle,
+                                                        cin_bwd_pallas)
+        rng = np.random.default_rng(4)
+        db = 256
+        x0T = jnp.asarray(rng.normal(size=(F, db)).astype(np.float32))
+        hT = jnp.asarray(rng.normal(size=(G, db)).astype(np.float32))
+        w2 = jnp.asarray(rng.normal(size=(L, F * G)).astype(np.float32))
+        dzT = jnp.asarray(rng.normal(size=(L, db)).astype(np.float32))
+        out = cin_bwd_pallas(x0T, hT, w2, dzT, interpret=True,
+                             block_lanes=128, chunk_f=fc)
+        ref = cin_bwd_oracle(x0T, hT, w2, dzT)
+        for a, b in zip(out, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-3)
+
+    def test_chunk_plan_alignment(self):
+        from deeptables_tpu.ops.kernels.cin_bwd import _chunk_plan
+        for F, G in [(26, 64), (26, 32), (100, 104), (20, 16)]:
+            plan = _chunk_plan(F, G)
+            if plan is None:
+                continue
+            assert sum(fc for _, fc in plan) == F
+            for f0, fc in plan:
+                assert f0 % 8 == 0
+                assert (f0 * G) % 128 == 0
