@@ -95,6 +95,12 @@ def main():
         dnn_params={'hidden_units': ((1024, 0, False), (512, 0, False)),
                     'activation': 'relu'},
         dtype_policy='bfloat16', earlystopping_patience=0,
+        # round-5 sweep (BASELINE.md e2e ingest bullet): per-step 35.6k,
+        # chunk 8 → 50-60k, chunk 16 → 78-91k, chunk 64 → 38-47k
+        # (64 stalls the 2-core host on stacking/buffering); 16 is the
+        # sweet spot on this platform
+        train_steps_per_dispatch=int(
+            os.environ.get('INGEST_CHUNK_STEPS', '16')),
         home_dir='/tmp/dt_bench')
     model = DeepModel('binary', 2, config, cat_cols, cont_cols)
     loader = CriteoStreamLoader(

@@ -37,7 +37,7 @@ def _throughput_for(nets, cat, dense, y, vocab_sizes, emb_dim=16,
                     batch_size=8192, bench_seconds=5.0, dtype='bfloat16',
                     steps_per_chunk=512, dnn_units=((1024, 0, False),
                                                     (512, 0, False)),
-                    **config_kw):
+                    with_cost=True, **config_kw):
     import jax
     import optax
 
@@ -110,8 +110,9 @@ def _throughput_for(nets, cat, dense, y, vocab_sizes, emb_dim=16,
     res = timing.measure_chunked(chunk_jit, params, bstats, opt_state,
                                  stacked, rng, batch_size, steps_per_chunk,
                                  bench_seconds)
-    cost = timing.step_cost_analysis(train_step, params, bstats, opt_state,
-                                     batch0, y0, rng)
+    cost = timing.step_cost_analysis(
+        train_step, params, bstats, opt_state,
+        batch0, y0, rng) if with_cost else None
     out = {'examples_per_sec': round(res['examples_per_sec'], 1),
            'step_ms': round(res['step_seconds'] * 1e3, 4),
            'batch_size': batch_size, 'finite': res['finite']}
@@ -236,9 +237,128 @@ def bench_quality():
     return results
 
 
+# ---------------------------------------------------------------------------
+# Formulation-regression harness (round 5, VERDICT r4 weak #2 / item 6).
+#
+# The embedding/CIN hot-path defaults are frozen winners of one
+# measurement context, and the k-select verdict REVERSED between rounds 3
+# and 4 with no code change (BASELINE.md "Formulation A/B").  This mode
+# turns the stated rule "re-measure after major trace changes or jax
+# upgrades" into one command: it A/Bs every frozen default in-situ (full
+# train step, one subprocess per variant so each formulation freezes into
+# its own trace) and prints winner-vs-default with a loud flag when a
+# default has gone stale.
+#
+#   python benchmarks/bench_models.py formulations
+# ---------------------------------------------------------------------------
+
+_FORM_OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         'formulations_results.json')
+
+# (env knob, probe config, [default value, alternatives...])
+_FORMULATIONS = [
+    ('DT_EMB_KSEL', 'deepfm', ['matmul', 'elementwise']),
+    ('DT_EMB_SCATTER', 'deepfm', ['lane', 'logical', 'segsum']),
+    # speed probe only — quality-unsafe without an f32 master copy
+    # (ops/embedding.py _table_param_dtype); a stale flag here means
+    # "worth building the master-copy optimizer", not "flip the env"
+    ('DT_EMB_TABLE_BF16', 'deepfm', ['0', '1']),
+    ('DT_CIN_BWD', 'xdeepfm', ['pallas', 'bm', 'auto']),
+    ('DT_CIN_BWD_CHUNK_F', 'xdeepfm', ['0', 'auto']),
+]
+# relative margin before a default is flagged stale (tunnel run-to-run
+# variance measured ±0.5-1%; 2% keeps the flag quiet on noise)
+_STALE_MARGIN = 0.02
+
+
+def _probe(config_name):
+    """Measure ONE full train step config in THIS process (invoked as a
+    subprocess by bench_formulations so env knobs freeze into the trace).
+    Prints a single JSON line with step_ms."""
+    from deeptables_tpu.data.datasets import load_criteo_synthetic
+    cat, dense, y, vocab_sizes = load_criteo_synthetic(
+        n_rows=8192 * 8, return_arrays=True)
+    if config_name == 'deepfm':
+        r = _throughput_for(['linear', 'fm_nets', 'dnn_nets'], cat, dense,
+                            y, vocab_sizes, with_cost=False)
+    elif config_name == 'xdeepfm':
+        r = _throughput_for(
+            ['linear', 'cin_nets', 'dnn_nets'], cat, dense, y, vocab_sizes,
+            with_cost=False,
+            cin_params={'cross_layer_size': (128, 128),
+                        'activation': 'relu'})
+    else:
+        raise ValueError(config_name)
+    print(json.dumps({'probe': config_name, 'step_ms': r['step_ms']}),
+          flush=True)
+
+
+def _run_probe_subprocess(config_name, env_overrides):
+    import subprocess
+    env = dict(os.environ)
+    env.update(env_overrides)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), '_probe', config_name],
+        env=env, capture_output=True, text=True, timeout=560)
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            d = json.loads(line)
+            if 'step_ms' in d:
+                return d['step_ms']
+        except ValueError:
+            continue
+    raise RuntimeError(
+        f'probe {config_name} {env_overrides} produced no result:\n'
+        f'{out.stdout[-2000:]}\n{out.stderr[-2000:]}')
+
+
+def bench_formulations():
+    results = {'stale': []}
+    base_ms = {}  # all-defaults probe, shared across knob groups
+    for knob, probe_cfg, values in _FORMULATIONS:
+        default = values[0]
+        if probe_cfg not in base_ms:
+            base_ms[probe_cfg] = _run_probe_subprocess(
+                probe_cfg, {k: v[0] for k, p, v in _FORMULATIONS
+                            if p == probe_cfg})
+            print(json.dumps({'probe': probe_cfg, 'all_defaults_ms':
+                              base_ms[probe_cfg]}), flush=True)
+        rows = {default: base_ms[probe_cfg]}
+        for alt in values[1:]:
+            rows[alt] = _run_probe_subprocess(probe_cfg, {knob: alt})
+            print(json.dumps({'knob': knob, 'value': alt,
+                              'step_ms': rows[alt]}), flush=True)
+        winner = min(rows, key=rows.get)
+        stale = (winner != default
+                 and rows[winner] < rows[default] * (1 - _STALE_MARGIN))
+        results[knob] = {'probe': probe_cfg, 'default': default,
+                         'winner': winner, 'step_ms': rows,
+                         'stale': stale}
+        verdict = (f'*** STALE DEFAULT: {knob}={default} '
+                   f'({rows[default]:.3f} ms) loses to {winner} '
+                   f'({rows[winner]:.3f} ms) — re-freeze the default ***'
+                   if stale else
+                   f'{knob}: default {default} holds '
+                   f'({rows[default]:.3f} ms; best alt '
+                   f'{min(v for k, v in rows.items() if k != default):.3f})')
+        if stale:
+            results['stale'].append(knob)
+        print(verdict, flush=True)
+    with open(_FORM_OUT, 'w') as f:
+        json.dump(results, f, indent=1)
+    print(f'wrote {_FORM_OUT}; stale defaults: '
+          f'{results["stale"] or "none"}', flush=True)
+    return results
+
+
 if __name__ == '__main__':
     mode = sys.argv[1] if len(sys.argv) > 1 else 'all'
-    if mode in ('throughput', 'all'):
-        bench_throughput()
-    if mode in ('quality', 'all'):
-        bench_quality()
+    if mode == '_probe':
+        _probe(sys.argv[2])
+    elif mode == 'formulations':
+        bench_formulations()
+    else:
+        if mode in ('throughput', 'all'):
+            bench_throughput()
+        if mode in ('quality', 'all'):
+            bench_quality()

@@ -132,7 +132,8 @@ class StreamingDataLoader:
             self._steps_per_epoch = max(total // self.batch_size, 1)
         return self._steps_per_epoch
 
-    def _chunk_to_batches(self, chunk: pd.DataFrame, rng, base_offset=0):
+    def _chunk_to_batches(self, chunk: pd.DataFrame, shuffle_seed,
+                          base_offset=0):
         if self.fold_spec is not None:
             chunk = chunk[self._fold_mask(len(chunk), base_offset)]
             if len(chunk) == 0:
@@ -154,7 +155,7 @@ class StreamingDataLoader:
             shuffle=self.shuffle_in_chunk,
             drop_remainder=self.drop_remainder,
             pad_multiple=self.pad_multiple,
-            seed=int(rng.integers(0, 2 ** 31)))
+            seed=shuffle_seed)
         return list(it)
 
     def __iter__(self):
@@ -168,7 +169,13 @@ class StreamingDataLoader:
             pending = None
             offset = 0
             for chunk in chunks:
-                fut = pool.submit(self._chunk_to_batches, chunk, rng, offset)
+                # draw the shuffle seed HERE (main thread, submission
+                # order): consuming the shared Generator inside the
+                # worker raced between overlapping futures, making
+                # same-process epoch order nondeterministic
+                seed = int(rng.integers(0, 2 ** 31))
+                fut = pool.submit(self._chunk_to_batches, chunk, seed,
+                                  offset)
                 offset += len(chunk)
                 if pending is not None:
                     for item in pending.result():

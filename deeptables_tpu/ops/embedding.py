@@ -68,6 +68,22 @@ def _scatter_logical() -> bool:
     return _scatter_mode() == 'logical'
 
 
+def _table_param_dtype(default) -> jnp.dtype:
+    """bf16 embedding-table storage probe (A/B row, VERDICT r4 item 8).
+
+    ``DT_EMB_TABLE_BF16=1`` stores the packed tables in bfloat16, halving
+    the packed-row read bytes of the fused gather (109 MB at the criteo
+    bench shapes) and the scatter/update traffic.  MEASUREMENT-ONLY knob:
+    without an f32 master copy the Adam update runs at bf16 precision
+    (tiny lr·grad increments round to zero), so this must not ship as a
+    quality path unless the in-situ win justifies building the
+    master-copy optimizer.  Decision recorded in BASELINE.md
+    "Formulation A/B"; checked by bench_models.py formulations."""
+    if os.environ.get('DT_EMB_TABLE_BF16', '0') == '1':
+        return jnp.bfloat16
+    return jnp.dtype(default)
+
+
 def _pack_factor(dim: int) -> int:
     """How many logical rows of width ``dim`` fit one 128-lane row (1 = none).
 
@@ -483,7 +499,7 @@ class MultiColumnEmbedding(nn.Module):
                 p_rows = -(-p_rows // n_model) * n_model
             table = self.param(f'embeddings_d{dim}', init,
                                (p_rows, p_width),
-                               jnp.dtype(self.param_dtype))
+                               _table_param_dtype(self.param_dtype))
             group_ids = ids[:, jnp.asarray(col_indices)] + jnp.asarray(offsets)
             if use_a2a:
                 from ..parallel.sharded_embedding import sharded_lookup_a2a

@@ -266,3 +266,31 @@ def test_streaming_int_category_and_bool_columns():
         assert np.issubdtype(X_s[c].dtype, np.integer)
         np.testing.assert_array_equal(np.asarray(X_s[c]),
                                       np.asarray(X_mem[c]))
+
+
+def test_streaming_chunked_dispatch_matches_per_step(csv_shards):
+    """The round-5 scan-chunked loader path (train_steps_per_dispatch on
+    a StreamingDataLoader) runs the SAME math as per-step dispatch: final
+    params bit-match when shuffling is deterministic."""
+    import jax
+
+    def run(n):
+        config = ModelConfig(nets=['dnn_nets'], metrics=['AUC'],
+                             embedding_dropout=0, seed=11,
+                             train_steps_per_dispatch=n)
+        pre = DefaultPreprocessor(config, use_cache=False)
+        source = ChunkedSource(csv_shards, chunk_size=200)
+        fit_preprocessor_streaming(pre, source, target='y', sample_rows=600)
+        loader = StreamingDataLoader(source, pre, target='y', batch_size=64,
+                                     seed=3)
+        model = DeepModel(pre.task, len(pre.labels), config,
+                          pre.categorical_columns, pre.continuous_columns)
+        h = model.fit(loader, epochs=2, verbose=0)
+        return h.history['loss'], model.variables['params']
+
+    l1, p1 = run(1)
+    l4, p4 = run(4)
+    np.testing.assert_allclose(l1, l4, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
