@@ -150,14 +150,12 @@ def bench_throughput():
     emit('criteo_deepfm', _throughput_for(
         ['linear', 'fm_nets', 'dnn_nets'], cat, dense, y, vocab_sizes))
 
-    # 3. xDeepFM / criteo (CIN 128x128) — einsum and Pallas variants
+    # 3. xDeepFM / criteo (CIN 128x128); the legacy per-layer Pallas CIN
+    # row was removed round 5 with the kernel (two declines — BASELINE.md)
     cin = {'cross_layer_size': (128, 128), 'activation': 'relu'}
     emit('criteo_xdeepfm', _throughput_for(
         ['linear', 'cin_nets', 'dnn_nets'], cat, dense, y, vocab_sizes,
         cin_params=dict(cin)))
-    emit('criteo_xdeepfm_pallas_cin', _throughput_for(
-        ['linear', 'cin_nets', 'dnn_nets'], cat, dense, y, vocab_sizes,
-        cin_params=dict(cin, use_pallas=True)))
 
     # 2. Wide&Deep + DCN / adult-style (8 cat of modest vocab + 6 dense)
     adult_vocabs = np.asarray([9, 16, 7, 15, 6, 5, 2, 42], np.int64)

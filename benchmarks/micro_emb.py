@@ -112,14 +112,12 @@ def main():
     run('fwd raw take packed rows',
         lambda: jnp.take(table, flat // k, axis=0))
 
-    # forward: Pallas DMA-pipelined row gather vs the take above
-    # (ops/kernels/emb_gather.py — the a2a owner-side gather candidate)
-    from deeptables_tpu.ops.kernels.emb_gather import (gather_pallas,
-                                                       sharded_gather_pallas)
-    run('fwd gather_pallas packed rows',
-        lambda: gather_pallas(table, flat // k))
+    # (the Pallas DMA-per-row gather + fused a2a owner-gather kernels were
+    # REMOVED in round 5 after two declines — measured 33.4 ms vs the
+    # 433 µs fused gather / no Mosaic row-gather lowering; the records
+    # live in BASELINE.md "Embedding hot-path micro-benchmarks")
 
-    # owner-side masked gather (sharded_lookup_a2a): jnp 3-op vs fused kernel
+    # owner-side masked gather (sharded_lookup_a2a): the jnp 3-op path
     packed_ids = flat // k
 
     def masked_take():
@@ -129,8 +127,6 @@ def main():
         return jnp.where(valid[:, None], rows, 0)
 
     run('a2a owner gather: jnp take+mask', masked_take)
-    run('a2a owner gather: pallas fused',
-        lambda: sharded_gather_pallas(table, packed_ids, 0))
 
     # bwd kernel at different chunk sizes
     ids_small = ids2[:, :n_small]

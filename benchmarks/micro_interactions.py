@@ -24,7 +24,6 @@ _OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def main():
     import jax.numpy as jnp
 
-    from deeptables_tpu.ops.kernels.cin import cin_layer_pallas
     from deeptables_tpu.ops.kernels.fm import fm_pallas
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
@@ -57,8 +56,8 @@ def main():
                               preferred_element_type=jnp.float32)
 
         report(f'cin xla einsum {tag}', timed(cin_xla, ()))
-        report(f'cin pallas {tag}',
-               timed(lambda x0=x0, h=h, w=w: cin_layer_pallas(x0, h, w), ()))
+        # (legacy per-layer pallas CIN removed round 5 after two declines;
+        # the batch-minor fused fwd/bwd kernels are measured by micro_cin)
 
     with open(_OUT, 'w') as f:
         json.dump({'batch': B, 'shapes': {'F': F, 'D': D, 'G': G, 'L': L},

@@ -510,16 +510,16 @@ class CIN(nn.Module):
                         'the last layer when direct=True')
                 hidden_fields = layer_size // 2
 
-        # legacy opt-in per-layer pallas CIN (measured slower than the
-        # einsum at prod shapes — BASELINE.md; kept reachable via
-        # cin_params={'use_pallas': True})
-        want_pallas = self.use_pallas or \
-            bool(self.params.get('use_pallas', False))
-        if want_pallas:
-            from .kernels.cin import supported as legacy_supported
-            want_pallas = all(legacy_supported(ls)
-                              for ls in cross_layer_size) \
-                and B >= 512 and B % 512 == 0
+        # the legacy opt-in per-layer pallas CIN was REMOVED in round 5
+        # after two declines (r2: 15.6 vs 5.7 ms step; re-measured r4:
+        # unchanged — BASELINE.md keeps the measurement record); the flag
+        # is still accepted so old configs keep working, with a warning
+        if self.use_pallas or bool(self.params.get('use_pallas', False)):
+            from ..utils import dt_logging
+            dt_logging.get_logger(__name__).warning(
+                "cin_params={'use_pallas': True}: the legacy per-layer "
+                'Pallas CIN was removed after two measured declines '
+                '(BASELINE.md); using the einsum + fused-backward path.')
 
         # batch-minor tower (round 4, measured and DECLINED as default):
         # every inter-layer tensor stays in (rows, D*B), each layer one
@@ -530,7 +530,7 @@ class CIN(nn.Module):
         # fused Pallas BACKWARD (cin_contract bwd='pallas').
         # cin_params={'layout': 'batch_minor'} keeps the tower reachable.
         layout = self.params.get('layout', 'auto')
-        use_bm = (not want_pallas) and layout == 'batch_minor'
+        use_bm = layout == 'batch_minor'
 
         final_result = []
         if use_bm:
@@ -558,16 +558,12 @@ class CIN(nn.Module):
         else:
             hidden = x
             for i, layer_size in enumerate(cross_layer_size):
-                if want_pallas:
-                    from .kernels.cin import cin_layer_pallas
-                    z = cin_layer_pallas(x, hidden, ws[i])
-                else:
-                    # custom-VJP contraction: the autodiff backward of
-                    # this einsum is narrow-output batched contractions
-                    # (8.1 ms of the round-3 xDeepFM step); ops/cin_grad.py
-                    from .cin_grad import cin_contract
-                    z = cin_contract(x, hidden, ws[i],
-                                     self.params.get('bwd', None))
+                # custom-VJP contraction: the autodiff backward of
+                # this einsum is narrow-output batched contractions
+                # (8.1 ms of the round-3 xDeepFM step); ops/cin_grad.py
+                from .cin_grad import cin_contract
+                z = cin_contract(x, hidden, ws[i],
+                                 self.params.get('bwd', None))
                 if use_bias:
                     z = z + biases[i][None, :, None]
                 # z stays f32 between layers: a bf16 store halves the

@@ -182,26 +182,20 @@ def sharded_lookup_a2a(table: jax.Array, ids: jax.Array, mesh: Mesh,
         # answer requests with a masked local gather
         rel = recv_ids // k - me * rows_local
         valid = (rel >= 0) & (rel < rows_local)
-        if use_pallas_gather and jax.default_backend() != 'tpu':
-            # fused clamp+gather+mask kernel (ops/kernels/emb_gather.py),
-            # interpret-mode only: Mosaic has no row-gather lowering, and
-            # the measured jnp path is already at the XLA-gather bound
-            # (402 us vs 408 us raw take at B=8192*26 — micro_emb.py),
-            # so there is no fused traffic left to save.
-            from ..ops.kernels.emb_gather import sharded_gather_pallas
-            rows = sharded_gather_pallas(
-                local_table, (recv_ids // k).reshape(-1),
-                me * rows_local, interpret=True).reshape(
-                    *recv_ids.shape, -1)
-        else:
-            if use_pallas_gather:
-                from ..utils import dt_logging
-                dt_logging.get_logger(__name__).warning(
-                    'use_pallas_gather ignored on TPU: Mosaic has no '
-                    'row-gather lowering; using the XLA gather (measured '
-                    'at the gather bound, see benchmarks/micro_emb.py).')
-            rows = jnp.take(local_table, jnp.clip(rel, 0, rows_local - 1),
-                            axis=0)
+        if use_pallas_gather:
+            # the gather_pallas kernel was REMOVED in round 5 after two
+            # declines (33.4 ms vs 433 µs fused gather; Mosaic has no
+            # row-gather lowering for the sharded variant — BASELINE.md
+            # keeps the measurement record); the jnp path below measures
+            # at the XLA-gather bound (402 vs 408 µs raw take), so there
+            # was no fused traffic left to save anyway.
+            from ..utils import dt_logging
+            dt_logging.get_logger(__name__).warning(
+                'use_pallas_gather is a no-op: the Pallas gather was '
+                'removed after two measured declines (BASELINE.md); '
+                'using the XLA gather (measured at the gather bound).')
+        rows = jnp.take(local_table, jnp.clip(rel, 0, rows_local - 1),
+                        axis=0)
         if k > 1:  # sub-select the logical row before the return trip
             sub = jax.nn.one_hot(recv_ids % k, k, dtype=rows.dtype)
             rows = jnp.einsum('sckd,sck->scd',

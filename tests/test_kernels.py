@@ -7,7 +7,6 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from deeptables_tpu.ops.kernels.cin import cin_layer_pallas
 from deeptables_tpu.ops.kernels.fm import fm_pallas
 
 B, F, D = 64, 7, 8
@@ -41,36 +40,9 @@ class TestFMKernel:
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4)
 
 
-class TestCINKernel:
-    def test_forward(self, x):
-        rng = np.random.default_rng(1)
-        G, L = 5, 6
-        h = rng.normal(size=(B, G, D)).astype(np.float32)
-        w = rng.normal(size=(L, F, G)).astype(np.float32)
-        out = cin_layer_pallas(jnp.asarray(x), jnp.asarray(h),
-                               jnp.asarray(w), None, True)
-        expected = np.einsum('bfd,bgd,lfg->bld', x, h, w)
-        np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4,
-                                   atol=1e-5)
-
-    def test_gradients(self, x):
-        rng = np.random.default_rng(2)
-        G, L = 4, 3
-        h = jnp.asarray(rng.normal(size=(B, G, D)).astype(np.float32))
-        w = jnp.asarray(rng.normal(size=(L, F, G)).astype(np.float32))
-        xj = jnp.asarray(x)
-
-        def loss_pallas(x0, hh, ww):
-            return jnp.sum(cin_layer_pallas(x0, hh, ww, None, True) ** 2)
-
-        def loss_ref(x0, hh, ww):
-            return jnp.sum(jnp.einsum('bfd,bgd,lfg->bld', x0, hh, ww) ** 2)
-
-        g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(xj, h, w)
-        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(xj, h, w)
-        for a, b in zip(g1, g2):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-3, atol=1e-4)
+# (TestCINKernel was removed with the legacy per-layer pallas CIN —
+# round-5 housekeeping after two measured declines; the production CIN
+# kernels are covered by TestCinBwdKernel/TestCinBwdChunked below)
 
 
 class TestModuleIntegration:
