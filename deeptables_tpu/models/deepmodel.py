@@ -877,7 +877,11 @@ class DeepModel:
             steps = 0
             buf_b, buf_y, buf_w = [], [], []
             for batch, yb, wb, valid in train_loader:
-                if use_chunk and valid == len(yb):
+                # only unpadded batches matching the buffered shape ride
+                # the chunk path (drop_remainder=False loaders emit a
+                # shorter tail per CHUNK, not just per epoch)
+                if use_chunk and valid == len(yb) \
+                        and (not buf_y or len(yb) == len(buf_y[0])):
                     buf_b.append(batch)
                     buf_y.append(yb)
                     buf_w.append(wb)

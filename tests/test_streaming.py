@@ -294,3 +294,21 @@ def test_streaming_chunked_dispatch_matches_per_step(csv_shards):
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p4)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_streaming_chunked_dispatch_partial_tail(csv_shards):
+    """With drop_remainder=False the loader yields a padded partial tail
+    batch; the chunked path must flush its buffer and run that batch
+    per-step (order-preserving), not stack it."""
+    config = ModelConfig(nets=['dnn_nets'], metrics=['AUC'],
+                         embedding_dropout=0, seed=11,
+                         train_steps_per_dispatch=4)
+    pre = DefaultPreprocessor(config, use_cache=False)
+    source = ChunkedSource(csv_shards, chunk_size=250)
+    fit_preprocessor_streaming(pre, source, target='y', sample_rows=600)
+    loader = StreamingDataLoader(source, pre, target='y', batch_size=64,
+                                 drop_remainder=False, seed=3)
+    model = DeepModel(pre.task, len(pre.labels), config,
+                      pre.categorical_columns, pre.continuous_columns)
+    h = model.fit(loader, epochs=1, verbose=0)
+    assert np.isfinite(h.history['loss'][0])
