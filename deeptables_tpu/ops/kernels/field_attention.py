@@ -342,6 +342,13 @@ def _ab_bwd_kernel(x_ref, w_ref, do_ref, dpre_ref, *, scale, H, dh):
     dpre_ref[...] = dpre.reshape(4 * U, f_, bb).astype(dpre_ref.dtype)
 
 
+# Round-5 re-probe of the fused block (the round-4 crash at grid>1 now
+# surfaces as a clean scoped-VMEM error on the current toolchain):
+# bb=256 backward allocates 17.35 MB vs the 16 MB limit (fails), and at
+# the VMEM-safe bb=128 one block's fwd+bwd measures 3.7-4.2 ms vs
+# ~0.9 ms/block on the unfused default path — the fusion is
+# uncompetitive on v5e at ANY feasible block size, not merely
+# compiler-blocked.  Kept opt-in for chips with larger VMEM.
 _AB_BUDGET_BYTES = 4_000_000
 
 
