@@ -311,21 +311,37 @@ def _run_probe_subprocess(config_name, env_overrides):
 
 
 def bench_formulations():
-    results = {'stale': []}
+    results = {'stale': [], 'failed': []}
     base_ms = {}  # all-defaults probe, shared across knob groups
+
+    def probe_defaults(probe_cfg):
+        # pin EVERY knob of the probe's group (ambient env could carry a
+        # sibling override and the A/B would mix two knob changes)
+        return {k: v[0] for k, p, v in _FORMULATIONS if p == probe_cfg}
+
     for knob, probe_cfg, values in _FORMULATIONS:
         default = values[0]
-        if probe_cfg not in base_ms:
-            base_ms[probe_cfg] = _run_probe_subprocess(
-                probe_cfg, {k: v[0] for k, p, v in _FORMULATIONS
-                            if p == probe_cfg})
-            print(json.dumps({'probe': probe_cfg, 'all_defaults_ms':
-                              base_ms[probe_cfg]}), flush=True)
-        rows = {default: base_ms[probe_cfg]}
-        for alt in values[1:]:
-            rows[alt] = _run_probe_subprocess(probe_cfg, {knob: alt})
-            print(json.dumps({'knob': knob, 'value': alt,
-                              'step_ms': rows[alt]}), flush=True)
+        try:
+            if probe_cfg not in base_ms:
+                base_ms[probe_cfg] = _run_probe_subprocess(
+                    probe_cfg, probe_defaults(probe_cfg))
+                print(json.dumps({'probe': probe_cfg, 'all_defaults_ms':
+                                  base_ms[probe_cfg]}), flush=True)
+            rows = {default: base_ms[probe_cfg]}
+            for alt in values[1:]:
+                rows[alt] = _run_probe_subprocess(
+                    probe_cfg, dict(probe_defaults(probe_cfg), **{knob: alt}))
+                print(json.dumps({'knob': knob, 'value': alt,
+                                  'step_ms': rows[alt]}), flush=True)
+        except Exception as e:  # one slow/broken probe must not discard
+            results['failed'].append(knob)  # the completed measurements
+            results[knob] = {'probe': probe_cfg, 'error':
+                             f'{type(e).__name__}: {str(e)[:300]}'}
+            print(f'!!! probe failed for {knob}: {type(e).__name__}',
+                  flush=True)
+            with open(_FORM_OUT, 'w') as f:
+                json.dump(results, f, indent=1)
+            continue
         winner = min(rows, key=rows.get)
         stale = (winner != default
                  and rows[winner] < rows[default] * (1 - _STALE_MARGIN))
@@ -342,6 +358,8 @@ def bench_formulations():
         if stale:
             results['stale'].append(knob)
         print(verdict, flush=True)
+        with open(_FORM_OUT, 'w') as f:  # incremental (tunnel flakes)
+            json.dump(results, f, indent=1)
     with open(_FORM_OUT, 'w') as f:
         json.dump(results, f, indent=1)
     print(f'wrote {_FORM_OUT}; stale defaults: '

@@ -597,19 +597,35 @@ def _load():
 
 
 def _save(res, name=None, side=None):
-    """Merge-on-save: the tf (CPU) and ours (TPU) sides may run
-    concurrently, so re-read the file and update only this run's
-    (config, side) entry — a whole-dict dump let the last writer clobber
-    the other side's new rows (round-5 incident)."""
-    if name is not None:
-        cur = _load()
-        cur.setdefault(name, {})[side] = res[name][side]
-        for k, sides in res.items():  # keep anything only we have
-            for s, runs in sides.items():
-                cur.setdefault(k, {}).setdefault(s, runs)
-        res = cur
-    with open(_OUT, 'w') as f:
-        json.dump(res, f, indent=1)
+    """Merge-on-save under an O_EXCL lock file: the tf (CPU) and ours
+    (TPU) sides may run concurrently, so re-read the file inside the
+    lock and update only this run's (config, side) entry — an unlocked
+    whole-dict dump let the last writer clobber the other side's new
+    rows (round-5 incident), and an unlocked read-modify-write still
+    had a lose-a-seed window."""
+    lock = _OUT + '.lock'
+    for _ in range(200):  # ~20 s; a crashed holder leaves a stale lock
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            break
+        except FileExistsError:
+            time.sleep(0.1)
+    try:
+        if name is not None:
+            cur = _load()
+            cur.setdefault(name, {})[side] = res[name][side]
+            for k, sides in res.items():  # keep anything only we have
+                for s, runs in sides.items():
+                    cur.setdefault(k, {}).setdefault(s, runs)
+            res = cur
+        with open(_OUT, 'w') as f:
+            json.dump(res, f, indent=1)
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
 
 
 def main():

@@ -684,25 +684,11 @@ class DeepModel:
                     step_count += 1
                     if len(buf_b) == chunk_n or step_count >= steps:
                         n = len(buf_b)
-                        sb = {k: np.stack([bb[k] for bb in buf_b])
-                              for k in buf_b[0]}
                         sy = np.stack(buf_y)
-                        sw = np.stack(buf_w) if with_w else None
                         keys = step_keys[step_count - n + 1:
                                          step_count + 1]
-                        fn = self._get_jitted(
-                            f'train_chunk_{n}_{with_w}',
-                            lambda: self._make_train_chunk(with_w))
-                        (params, bs, opt_state, loss_state, losses,
-                         logits) = fn(
-                            self.variables['params'],
-                            self.variables.get('batch_stats', {}),
-                            self.opt_state, self.loss_state, sb, sy, sw,
-                            keys)
-                        self.variables = {'params': params,
-                                          'batch_stats': bs}
-                        self.opt_state = opt_state
-                        self.loss_state = loss_state
+                        losses, logits = self._dispatch_train_chunk(
+                            buf_b, sy, buf_w if with_w else None, keys)
                         epoch_losses.append(losses)
                         if metric_cap is None or metric_examples < metric_cap:
                             # slice to the remaining cap so the chunked
@@ -787,6 +773,28 @@ class DeepModel:
         history.history = IgnoreCaseDict(history.history)
         return history
 
+    def _dispatch_train_chunk(self, buf_b, sy, buf_w, keys):
+        """Stack N buffered batches and run them through one lax.scan
+        chunk dispatch (shared by the in-memory fit and the streaming
+        loader path — review round-5 finding: the two inline copies were
+        one edit away from divergence).  ``buf_w`` None = unweighted.
+        Returns (per-step losses, stacked logits); model state
+        (variables/opt_state/loss_state) is written back in place."""
+        n = len(buf_b)
+        with_w = buf_w is not None
+        sb = {k: np.stack([bb[k] for bb in buf_b]) for k in buf_b[0]}
+        sw = np.stack(buf_w) if with_w else None
+        fn = self._get_jitted(f'train_chunk_{n}_{with_w}',
+                              lambda: self._make_train_chunk(with_w))
+        (params, bs, opt_state, loss_state, losses, logits) = fn(
+            self.variables['params'],
+            self.variables.get('batch_stats', {}),
+            self.opt_state, self.loss_state, sb, sy, sw, keys)
+        self.variables = {'params': params, 'batch_stats': bs}
+        self.opt_state = opt_state
+        self.loss_state = loss_state
+        return losses, logits
+
     def _fit_from_loader(self, train_loader, val_loader=None, epochs=1,
                          verbose=1, callbacks=None, initial_epoch=0,
                          steps_per_epoch=None):
@@ -854,20 +862,9 @@ class DeepModel:
             return loss
 
         def run_chunk(buf_b, buf_y, buf_w, with_w):
-            n = len(buf_b)
-            sb = {k: np.stack([bb[k] for bb in buf_b]) for k in buf_b[0]}
-            sy = np.stack(buf_y)
-            sw = np.stack(buf_w) if with_w else None
-            keys = np.stack([next_key() for _ in range(n)])
-            fn = self._get_jitted(f'train_chunk_{n}_{with_w}',
-                                  lambda: self._make_train_chunk(with_w))
-            (params, bs, opt_state, loss_state, losses, _logits) = fn(
-                self.variables['params'],
-                self.variables.get('batch_stats', {}),
-                self.opt_state, self.loss_state, sb, sy, sw, keys)
-            self.variables = {'params': params, 'batch_stats': bs}
-            self.opt_state = opt_state
-            self.loss_state = loss_state
+            keys = np.stack([next_key() for _ in range(len(buf_b))])
+            losses, _logits = self._dispatch_train_chunk(
+                buf_b, np.stack(buf_y), buf_w if with_w else None, keys)
             return losses
 
         for epoch in range(initial_epoch, epochs):

@@ -136,6 +136,12 @@ def _chunk_plan(F, G, want=None):
     while f0 < F:
         chunks.append((f0, min(fc, F - f0)))
         f0 += fc
+    # every chunk's lane EXTENT must also be a multiple of 128 — a
+    # sub-lane-tile tail slice of w/dW (e.g. F=20, G=16 → tail 4*16=64
+    # lanes) was never compiled on hardware; reject rather than risk a
+    # Mosaic failure on this opt-in path (review round-5 finding)
+    if any((c * G) % _LANE for _, c in chunks):
+        return None
     return tuple(chunks)
 
 

@@ -374,15 +374,16 @@ def _ab_pick_block(b, h, f, u, budget_bytes=_AB_BUDGET_BYTES):
 def attention_block_supported(num_heads, n_fields, u, batch) -> bool:
     """Whether the fused-block kernels may lower: besides the
     field_attention constraints, the minimum 128-lane block must be
-    compileable.  The feasibility cutoff is 2× the block-choice budget:
-    `_ab_pick_block`'s 4 MB budget is a conservative *preference* for
-    sizing larger blocks, while the measured compile limit is the 16 MB
-    scoped VMEM with grid>1 double-buffering — the bench config's 128-lane
-    block estimates 4.5 MB and compiles, so the strict budget would
-    wrongly reject it."""
+    compileable.  The feasibility cutoff is 1.5× the block-choice
+    budget (6 MB): `_ab_pick_block`'s 4 MB budget is a conservative
+    *preference* for sizing larger blocks, while the measured compile
+    boundary is the 16 MB scoped VMEM at ~1.93× the per-lane estimate
+    (bb=256's 9 MB estimate allocated 17.35 MB and failed; the bench
+    config's 4.5 MB estimate compiles) — 6 MB ≈ 11.6 MB actual keeps
+    margin below the limit while still admitting the measured config."""
     return (supported(u // num_heads, batch, num_heads, n_fields)
             and _LANE * _ab_per_lane(num_heads, n_fields, u)
-            <= 2 * _AB_BUDGET_BYTES)
+            <= int(1.5 * _AB_BUDGET_BYTES))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))

@@ -88,6 +88,11 @@ def enable_compilation_cache(path=None):
         standard = ('cpu', 'gpu', 'cuda', 'rocm', 'tpu', 'metal', '')
         plugins = os.environ.get('JAX_PLATFORMS', '').lower().split(',')
         remote_plugin = any(p.strip() not in standard for p in plugins)
+        if not remote_plugin and not any(p.strip() for p in plugins):
+            # no explicit platform selection: fall back to the backend's
+            # own platform name (a tunneled plugin registered purely via
+            # sitecustomize may report a non-standard name there)
+            remote_plugin = jax.default_backend() not in standard
         threshold = float(os.environ.get(
             'DT_COMPILE_CACHE_MIN_SECS',
             0.0 if remote_plugin else 1.0))
