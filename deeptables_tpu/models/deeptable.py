@@ -454,6 +454,27 @@ class DeepTable:
         logger.info(f'apply taken {time.time() - start}s')
         return output
 
+    def concat_emb_dense(self, flatten_emb_layer, dense_layer):
+        """Concatenate the flattened-embedding and dense inputs
+        (surface parity with reference ``deeptable.py:612-625``, whose
+        public copy of the model builder's helper concatenates the two
+        Keras layers and applies BatchNorm).  Here the inputs are
+        arrays; the BatchNorm half lives inside the traced model
+        (``deepmodel.DeepTableModule`` applies ``bn_concat_emb_dense``
+        with the model's own statistics), so this helper performs the
+        concat/selection logic only."""
+        import jax.numpy as jnp
+        if flatten_emb_layer is not None and dense_layer is not None:
+            x = jnp.concatenate([flatten_emb_layer, dense_layer], axis=-1)
+        elif flatten_emb_layer is not None:
+            x = flatten_emb_layer
+        elif dense_layer is not None:
+            x = dense_layer
+        else:
+            raise ValueError('No input layer exists.')
+        logger.info(f'Concat embedding and dense layer shape:{x.shape}')
+        return x
+
     # ------------------------------------------------------------------
     def get_model(self, model_selector=consts.MODEL_SELECTOR_CURRENT):
         if model_selector == consts.MODEL_SELECTOR_CURRENT:

@@ -184,3 +184,37 @@ def test_chunked_dispatch_matches_per_step():
     l4, a4 = run(4)
     np.testing.assert_allclose(l1, l4, rtol=1e-6)
     np.testing.assert_allclose(a1, a4, rtol=1e-6)
+
+
+def test_chunked_dispatch_matches_per_step_weighted():
+    """Class weights ride the chunked dispatch too (with_w=True stacks
+    the per-step weight vectors): loss histories bit-match per-step."""
+    from deeptables_tpu.data.datasets import load_bank
+    from deeptables_tpu.models import DeepTable, ModelConfig
+
+    def run(n):
+        df = load_bank(900)
+        y = df.pop('y')
+        conf = ModelConfig(nets=['dnn_nets'], metrics=['AUC'],
+                           earlystopping_patience=0, embedding_dropout=0,
+                           apply_class_weight=True,
+                           train_steps_per_dispatch=n, seed=5)
+        dt = DeepTable(config=conf)
+        _, h = dt.fit(df, y, epochs=2, batch_size=128, verbose=0)
+        return h.history['loss']
+
+    np.testing.assert_allclose(run(1), run(4), rtol=1e-6)
+
+
+def test_concat_emb_dense_helper():
+    """Surface parity with reference deeptable.py:612-625."""
+    import jax.numpy as jnp
+    from deeptables_tpu.models import DeepTable, ModelConfig
+    dt = DeepTable(ModelConfig(nets=['dnn_nets']))
+    a = jnp.ones((4, 3))
+    b = jnp.zeros((4, 2))
+    assert dt.concat_emb_dense(a, b).shape == (4, 5)
+    assert dt.concat_emb_dense(a, None).shape == (4, 3)
+    assert dt.concat_emb_dense(None, b).shape == (4, 2)
+    with pytest.raises(ValueError):
+        dt.concat_emb_dense(None, None)
