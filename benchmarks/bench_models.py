@@ -4,7 +4,7 @@
 Covers the BASELINE.json single-chip configs:
 1. DeepFM on Criteo-style (26 cat + 13 dense)
 2. Wide&Deep + DCN cross-net on Adult-style (8 cat + 6 dense)
-3. xDeepFM with CIN 128x128 on Criteo-style (+ a Pallas-CIN variant)
+3. xDeepFM with CIN 128x128 on Criteo-style
 4. AutoInt (3 blocks, 2 heads) on Avazu-style (22 cat)
 
 Throughput uses the pipelined-fetch scan-chunk methodology (see
@@ -13,9 +13,14 @@ records XLA's own per-step cost analysis (flops, bytes accessed) plus a
 roofline statement (which bound each config hits and what fraction of it
 the measured step achieves).
 
-Usage: python benchmarks/bench_models.py [quality|throughput|all]
-Prints one JSON line per measurement and writes
-benchmarks/results_models.json.
+Usage: python benchmarks/bench_models.py [quality|throughput|all|formulations]
+- quality / throughput / all: the config tables above →
+  benchmarks/results_models.json
+- formulations: in-situ A/B of every frozen hot-path default with a
+  stale-default flag (round 5; see the section below) →
+  benchmarks/formulations_results.json
+(`_probe <config>` is the internal per-subprocess entry the
+formulations mode spawns.)
 """
 
 import json

@@ -63,14 +63,25 @@ def main():
         # (block_lanes, chunk_f) combos: 0 = auto / whole-F
         combos = [(block or None, 0), (block or None, 'auto'),
                   (512, 8), (1024, 8), (1024, 16)]
+        from deeptables_tpu.ops.kernels.cin_bwd import _chunk_plan
+        Gp = -(-G // 8) * 8
         for bl, cf in combos:
+            # label with the EFFECTIVE plan: _chunk_plan may reject a
+            # requested chunk size (tail-alignment rule) and fall back to
+            # the whole-F kernel — a row claiming fc=8 while measuring
+            # whole-F misleads the decline record (review r5 finding)
+            if cf in (0, 'auto'):
+                eff = cf
+            else:
+                plan = _chunk_plan(F, Gp, want=cf)
+                eff = cf if plan is not None else f'{cf}→whole-F(rejected)'
             try:
                 t = timed(cin_bwd_pallas, x0T, hT, w2, dzT, False, bl, cf)
             except Exception as e:
-                print(f'pallas F={F} G={G} nb={bl} fc={cf}: FAILED '
+                print(f'pallas F={F} G={G} nb={bl} fc={eff}: FAILED '
                       f'{type(e).__name__}: {str(e)[:120]}', flush=True)
                 continue
-            print(f'pallas F={F} G={G} nb={bl} fc={cf}: {t*1e6:9.1f} us  '
+            print(f'pallas F={F} G={G} nb={bl} fc={eff}: {t*1e6:9.1f} us  '
                   f'{flops/t/1e12:6.1f} TFLOP/s', flush=True)
 
         # XLA bm backward for contrast (same math through the custom VJP)

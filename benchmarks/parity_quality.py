@@ -604,10 +604,12 @@ def _save(res, name=None, side=None):
     rows (round-5 incident), and an unlocked read-modify-write still
     had a lose-a-seed window."""
     lock = _OUT + '.lock'
+    acquired = False
     for _ in range(200):  # ~20 s; a crashed holder leaves a stale lock
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.close(fd)
+            acquired = True
             break
         except FileExistsError:
             time.sleep(0.1)
@@ -622,10 +624,15 @@ def _save(res, name=None, side=None):
         with open(_OUT, 'w') as f:
             json.dump(res, f, indent=1)
     finally:
-        try:
-            os.unlink(lock)
-        except OSError:
-            pass
+        # never delete a lock we did not acquire: unlinking a live
+        # holder's lock would reopen the concurrent-writer window
+        # (review round-5 finding; the timed-out write above is a
+        # best-effort fallback so a crashed holder cannot deadlock us)
+        if acquired:
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
 
 
 def main():

@@ -676,6 +676,32 @@ class DeepModel:
             rng = jnp.asarray(step_keys[0])
             metric_cap = self.config.train_metrics_sample_limit
             buf_b, buf_y, buf_w = [], [], []
+
+            def flush_chunk():
+                nonlocal buf_b, buf_y, buf_w, metric_examples
+                n = len(buf_b)
+                sy = np.stack(buf_y)
+                keys = step_keys[step_count - n + 1:step_count + 1]
+                losses, logits = self._dispatch_train_chunk(
+                    buf_b, sy, buf_w if with_w else None, keys)
+                epoch_losses.append(losses)
+                if metric_cap is None or metric_examples < metric_cap:
+                    # slice to the remaining cap so the chunked path
+                    # samples the same example budget as the per-step
+                    # path (at most one batch of overshoot, not
+                    # chunk_n batches)
+                    flat_logits = logits.reshape((-1,) + logits.shape[2:])
+                    flat_ys = sy.reshape((-1,) + sy.shape[2:])
+                    if metric_cap is not None:
+                        rem = metric_cap - metric_examples
+                        rem_b = -(-rem // batch_size) * batch_size
+                        flat_logits = flat_logits[:rem_b]
+                        flat_ys = flat_ys[:rem_b]
+                    train_logits.append(flat_logits)
+                    train_ys.append(flat_ys)
+                    metric_examples += len(flat_ys)
+                buf_b, buf_y, buf_w = [], [], []
+
             for batch, yb, wb, valid in it:
                 if use_chunk:
                     buf_b.append(batch)
@@ -683,30 +709,7 @@ class DeepModel:
                     buf_w.append(wb)
                     step_count += 1
                     if len(buf_b) == chunk_n or step_count >= steps:
-                        n = len(buf_b)
-                        sy = np.stack(buf_y)
-                        keys = step_keys[step_count - n + 1:
-                                         step_count + 1]
-                        losses, logits = self._dispatch_train_chunk(
-                            buf_b, sy, buf_w if with_w else None, keys)
-                        epoch_losses.append(losses)
-                        if metric_cap is None or metric_examples < metric_cap:
-                            # slice to the remaining cap so the chunked
-                            # path samples the same example budget as the
-                            # per-step path (at most one batch of
-                            # overshoot, not chunk_n batches)
-                            flat_logits = logits.reshape(
-                                (-1,) + logits.shape[2:])
-                            flat_ys = sy.reshape((-1,) + sy.shape[2:])
-                            if metric_cap is not None:
-                                rem = metric_cap - metric_examples
-                                rem_b = -(-rem // batch_size) * batch_size
-                                flat_logits = flat_logits[:rem_b]
-                                flat_ys = flat_ys[:rem_b]
-                            train_logits.append(flat_logits)
-                            train_ys.append(flat_ys)
-                            metric_examples += len(flat_ys)
-                        buf_b, buf_y, buf_w = [], [], []
+                        flush_chunk()
                     if step_count >= steps:
                         break
                     continue
@@ -730,6 +733,12 @@ class DeepModel:
                 step_count += 1
                 if step_count >= steps:
                     break
+            if buf_b:
+                # iterator exhausted before `steps` (steps_per_epoch
+                # larger than the data provides): flush the trailing
+                # partial buffer instead of silently dropping it
+                # (review round-5 finding)
+                flush_chunk()
 
             # ONE host fetch per epoch: stack/concatenate on device first
             # (per-item fetches cost a tunnel round-trip each)

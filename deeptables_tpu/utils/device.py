@@ -89,10 +89,19 @@ def enable_compilation_cache(path=None):
         plugins = os.environ.get('JAX_PLATFORMS', '').lower().split(',')
         remote_plugin = any(p.strip() not in standard for p in plugins)
         if not remote_plugin and not any(p.strip() for p in plugins):
-            # no explicit platform selection: fall back to the backend's
-            # own platform name (a tunneled plugin registered purely via
-            # sitecustomize may report a non-standard name there)
-            remote_plugin = jax.default_backend() not in standard
+            # no explicit platform selection: check the REGISTERED
+            # backend-factory names — a tunneled plugin still registers
+            # under its own name (e.g. 'axon') even though the backend
+            # it creates reports the standard platform 'tpu' (verified
+            # on the tunneled v5e: default_backend() == 'tpu'), so the
+            # platform name alone cannot distinguish it
+            try:
+                from jax._src import xla_bridge as _xb
+                names = set(getattr(_xb, '_backend_factories', {}))
+                remote_plugin = any(str(n).lower() not in standard
+                                    for n in names)
+            except Exception:  # pragma: no cover - jax internals moved
+                remote_plugin = False
         threshold = float(os.environ.get(
             'DT_COMPILE_CACHE_MIN_SECS',
             0.0 if remote_plugin else 1.0))

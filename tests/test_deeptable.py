@@ -218,3 +218,22 @@ def test_concat_emb_dense_helper():
     assert dt.concat_emb_dense(None, b).shape == (4, 2)
     with pytest.raises(ValueError):
         dt.concat_emb_dense(None, None)
+
+
+def test_chunked_dispatch_trailing_flush():
+    """When steps_per_epoch exceeds what the data provides, the chunked
+    path must flush the trailing partial buffer instead of dropping it
+    (or crashing on an empty epoch) — review round-5 finding."""
+    from deeptables_tpu.data.datasets import load_bank
+    from deeptables_tpu.models import DeepTable, ModelConfig
+    df = load_bank(500)
+    y = df.pop('y')
+    conf = ModelConfig(nets=['dnn_nets'], metrics=['AUC'],
+                       embedding_dropout=0, train_steps_per_dispatch=8,
+                       earlystopping_patience=0, seed=3)
+    dt = DeepTable(config=conf)
+    # 500 rows / batch 128 -> 3 full batches, fewer than chunk_n=8 and
+    # fewer than the requested 10 steps
+    _, h = dt.fit(df, y, epochs=1, batch_size=128, steps_per_epoch=10,
+                  verbose=0)
+    assert np.isfinite(h.history['loss'][0])
