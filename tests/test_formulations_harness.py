@@ -77,3 +77,28 @@ def test_probe_failure_is_isolated(monkeypatch, tmp_path):
     assert res['failed'] == ['K1']
     assert 'error' in res['K1']
     assert res['K2']['winner'] in ('x', 'y')  # K2 still measured
+
+
+def test_parity_save_concurrent_writers(monkeypatch, tmp_path):
+    """parity_quality._save must not lose rows when two sides write
+    concurrently (the round-5 clobber incident): hammer it from two
+    threads and require every (config, side, seed) row to survive."""
+    import threading
+    import benchmarks.parity_quality as pq
+
+    out = str(tmp_path / 'parity.json')
+    monkeypatch.setattr(pq, '_OUT', out)
+
+    def writer(side):
+        for seed in range(8):
+            res = pq._load()
+            runs = res.setdefault('cfg', {}).setdefault(side, [])
+            runs.append({'auc': seed})
+            pq._save(res, 'cfg', side)
+
+    t1 = threading.Thread(target=writer, args=('ours',))
+    t2 = threading.Thread(target=writer, args=('tf',))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    final = pq._load()
+    assert len(final['cfg']['ours']) == 8, final['cfg']['ours']
+    assert len(final['cfg']['tf']) == 8, final['cfg']['tf']
